@@ -2,13 +2,19 @@
 
 Multi-chip sharding is validated without TPU hardware via
 --xla_force_host_platform_device_count (SURVEY.md §4 implication list).
-Must run before jax initializes its backends, hence the env mutation at
-import time.
+
+Note: on this image a sitecustomize hook imports jax at interpreter startup
+with JAX_PLATFORMS=axon (a tunneled single-TPU backend that admits one client
+per host at a time). Setting the env var here is therefore too late — the
+platform must be overridden through jax.config, which also keeps the test
+suite from contending for the TPU tunnel with concurrently running jobs.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', 'false')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
