@@ -1,0 +1,104 @@
+"""Host-side utility toolbox: logging, artifact savers, config snapshots.
+
+Same artifact formats as the reference so its offline analysis layer keeps
+working (reference molgym/tools/util.py:105-183): JSON-lines metric streams
+named `{tag}_{train|opt|eval}.txt`, pickled rollouts named
+`{tag}_steps-{n}_{info}.pkl`, run tag `{name}_run-{seed}`, per-run JSON config
+snapshot and a stream+file logger.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def get_tag(config: dict) -> str:
+    return '{exp}_run-{seed}'.format(exp=config['name'], seed=config['seed'])
+
+
+def save_config(config: dict, directory: str, tag: str, verbose: bool = True) -> None:
+    formatted = json.dumps(config, indent=4, sort_keys=True, default=str)
+    if verbose:
+        logging.info(formatted)
+    with open(os.path.join(directory, tag + '.json'), mode='w') as f:
+        f.write(formatted)
+
+
+def create_directories(directories: List[str]) -> None:
+    for directory in directories:
+        os.makedirs(directory, exist_ok=True)
+
+
+def setup_logger(config: dict, directory: str, tag: str) -> None:
+    logger = logging.getLogger()
+    logger.setLevel(config.get('log_level', 'INFO'))
+    formatter = logging.Formatter(
+        '%(asctime)s.%(msecs)03d %(levelname)s: %(message)s',
+        datefmt='%Y-%m-%d %H:%M:%S')
+
+    ch = logging.StreamHandler(stream=sys.stdout)
+    ch.setFormatter(formatter)
+    logger.addHandler(ch)
+
+    fh = logging.FileHandler(os.path.join(directory, tag + '.log'))
+    fh.setFormatter(formatter)
+    logger.addHandler(fh)
+
+
+def set_seeds(seed: int) -> None:
+    np.random.seed(seed)
+
+
+class RolloutSaver:
+    """Pickles rollout trajectories under data/ with the reference's filename
+    scheme `{tag}_steps-{n}_{mode}.pkl` (tools/util.py:157-169), optionally
+    rank-tagged for multi-host runs (the analysis layer parses `_rank-N`,
+    tools/analysis.py:17)."""
+
+    def __init__(self, directory: str, tag: str, rank: Optional[int] = None) -> None:
+        self.directory = directory
+        self.tag = tag
+        self.rank = rank
+        self._suffix = '.pkl'
+
+    def save(self, obj: object, num_steps: int, info: str) -> None:
+        parts = [self.tag, f'steps-{num_steps}']
+        if self.rank is not None:
+            parts.append(f'rank-{self.rank}')
+        parts.append(info)
+        path = os.path.join(self.directory, '_'.join(parts) + self._suffix)
+        logging.debug(f'Saving rollout: {path}')
+        with open(path, mode='wb') as f:
+            pickle.dump(obj, f)
+
+
+class InfoSaver:
+    """Appends JSON lines to `{tag}_{name}.txt` (tools/util.py:172-183)."""
+
+    def __init__(self, directory: str, tag: str) -> None:
+        self.directory = directory
+        self.tag = tag
+        self._suffix = '.txt'
+
+    def save(self, obj: dict, name: str) -> None:
+        path = os.path.join(self.directory, self.tag + '_' + name + self._suffix)
+        logging.debug(f'Saving info: {path}')
+        clean = {}
+        for key, value in obj.items():
+            if isinstance(value, (np.floating, np.integer)):
+                value = value.item()
+            clean[key] = value
+        with open(path, mode='a') as f:
+            f.write(json.dumps(clean))
+            f.write('\n')
+
+
+def count_params(params) -> int:
+    import jax
+    return sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))

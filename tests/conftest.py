@@ -18,3 +18,8 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: repeated suite runs skip XLA recompiles.
+os.makedirs('/tmp/molgym_tpu_xla_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/molgym_tpu_xla_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
