@@ -1,0 +1,134 @@
+"""Clebsch-Gordan algebra: coefficient tables and tensor products.
+
+Replaces cormorant's CGDict / CGProduct (used throughout the reference's
+covariant stack, molgym/agents/covariant/modules.py:4-8). Coefficients are
+computed exactly on the host (float64, explicit Racah formula) and baked into
+the compiled program as static arrays; products are dense einsums over the
+(2l1+1, 2l2+1, 2l+1) tables — on TPU these contractions map onto the MXU and
+XLA fuses the real/imag combination arithmetic.
+
+Complex layout everywhere: trailing axis of size 2 = (real, imag).
+SO3Vec = tuple/list of arrays, entry l shaped [..., tau_l, 2l+1, 2].
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _cg_coefficient(l1: int, m1: int, l2: int, m2: int, l: int, m: int) -> float:
+    """<l1 m1 l2 m2 | l m> via the Racah closed form (exact, float64)."""
+    if m1 + m2 != m or l < abs(l1 - l2) or l > l1 + l2:
+        return 0.0
+    if abs(m1) > l1 or abs(m2) > l2 or abs(m) > l:
+        return 0.0
+    f = math.factorial
+    prefactor = math.sqrt(
+        (2 * l + 1) * f(l + l1 - l2) * f(l - l1 + l2) * f(l1 + l2 - l) /
+        f(l1 + l2 + l + 1))
+    prefactor *= math.sqrt(
+        f(l + m) * f(l - m) * f(l1 - m1) * f(l1 + m1) * f(l2 - m2) * f(l2 + m2))
+    total = 0.0
+    k_min = max(0, l2 - l - m1, l1 + m2 - l)
+    k_max = min(l1 + l2 - l, l1 - m1, l2 + m2)
+    for k in range(k_min, k_max + 1):
+        denom = (f(k) * f(l1 + l2 - l - k) * f(l1 - m1 - k) * f(l2 + m2 - k) *
+                 f(l - l2 + m1 + k) * f(l - l1 - m2 + k))
+        total += ((-1.0) ** k) / denom
+    return prefactor * total
+
+
+@lru_cache(maxsize=None)
+def cg_table(l1: int, l2: int, l: int) -> np.ndarray:
+    """Dense table [2l1+1, 2l2+1, 2l+1] with m indices ascending from -l."""
+    table = np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l + 1), dtype=np.float64)
+    for i1, m1 in enumerate(range(-l1, l1 + 1)):
+        for i2, m2 in enumerate(range(-l2, l2 + 1)):
+            m = m1 + m2
+            if -l <= m <= l:
+                table[i1, i2, m + l] = _cg_coefficient(l1, m1, l2, m2, l, m)
+    return table
+
+
+def _complex_contract(a: jnp.ndarray, b: jnp.ndarray, table: jnp.ndarray,
+                      pattern: str) -> jnp.ndarray:
+    """einsum with complex (real/imag stacked) operands; `pattern` contracts
+    the m indices against the CG table, e.g. '...tm,...tn,mnk->...tk'."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    rr = jnp.einsum(pattern, ar, br, table)
+    ii = jnp.einsum(pattern, ai, bi, table)
+    ri = jnp.einsum(pattern, ar, bi, table)
+    ir = jnp.einsum(pattern, ai, br, table)
+    return jnp.stack([rr - ii, ri + ir], axis=-1)
+
+
+def _pair_taus(t1: int, t2: int) -> int:
+    assert t1 == t2 or t1 == 1 or t2 == 1, \
+        f'CG product needs matching or broadcastable taus, got {t1}, {t2}'
+    return max(t1, t2)
+
+
+def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
+               maxl: int) -> List[jnp.ndarray]:
+    """Channel-wise CG tensor product of two SO3Vecs (cormorant CGProduct with
+    aggregate=False). Output entry l concatenates, along tau, the (l1, l2)
+    pairs with |l1-l2| <= l <= min(l1+l2, maxl)."""
+    ells1 = range(len(rep1))
+    ells2 = range(len(rep2))
+    out_parts: List[List[jnp.ndarray]] = [[] for _ in range(maxl + 1)]
+    for l1 in ells1:
+        for l2 in ells2:
+            a, b = rep1[l1], rep2[l2]
+            tau = _pair_taus(a.shape[-3], b.shape[-3])
+            if a.shape[-3] != tau:
+                a = jnp.broadcast_to(a, a.shape[:-3] + (tau, ) + a.shape[-2:])
+            if b.shape[-3] != tau:
+                b = jnp.broadcast_to(b, b.shape[:-3] + (tau, ) + b.shape[-2:])
+            for l in range(abs(l1 - l2), min(l1 + l2, maxl) + 1):
+                table = jnp.asarray(cg_table(l1, l2, l).astype(np.float32))
+                out_parts[l].append(
+                    _complex_contract(a, b, table, '...tm,...tn,mnk->...tk'))
+    return [jnp.concatenate(parts, axis=-3) for parts in out_parts]
+
+
+def cg_aggregate(edge_rep: Sequence[jnp.ndarray], atom_rep: Sequence[jnp.ndarray],
+                 maxl: int) -> List[jnp.ndarray]:
+    """Neighborhood-aggregating CG product (cormorant CGProduct with
+    aggregate=True): out_i = sum_j edge_ij ⊗_CG atom_j.
+
+    edge_rep entry l2: [..., N, M, tau, 2*l2+1, 2]
+    atom_rep entry l1: [..., M, tau, 2*l1+1, 2]
+    output entry l:    [..., N, tau_out, 2*l+1, 2]
+    """
+    out_parts: List[List[jnp.ndarray]] = [[] for _ in range(maxl + 1)]
+    for l2 in range(len(edge_rep)):
+        for l1 in range(len(atom_rep)):
+            e, a = edge_rep[l2], atom_rep[l1]
+            tau = _pair_taus(e.shape[-3], a.shape[-3])
+            if e.shape[-3] != tau:
+                e = jnp.broadcast_to(e, e.shape[:-3] + (tau, ) + e.shape[-2:])
+            if a.shape[-3] != tau:
+                a = jnp.broadcast_to(a, a.shape[:-3] + (tau, ) + a.shape[-2:])
+            for l in range(abs(l1 - l2), min(l1 + l2, maxl) + 1):
+                table = jnp.asarray(cg_table(l2, l1, l).astype(np.float32))
+                out_parts[l].append(
+                    _complex_contract(e, a, table, '...ijtm,...jtn,mnk->...itk'))
+    return [jnp.concatenate(parts, axis=-3) for parts in out_parts]
+
+
+def cg_output_taus(taus1: Sequence[int], taus2: Sequence[int],
+                   maxl: int) -> Tuple[int, ...]:
+    """Channel counts of the cg_product output (cormorant CGProduct.tau)."""
+    out = [0] * (maxl + 1)
+    for l1, t1 in enumerate(taus1):
+        for l2, t2 in enumerate(taus2):
+            tau = _pair_taus(t1, t2)
+            for l in range(abs(l1 - l2), min(l1 + l2, maxl) + 1):
+                out[l] += tau
+    return tuple(out)

@@ -1,0 +1,181 @@
+"""SO(3) math tests: spherical harmonics vs Mathematica constants,
+orthonormality, CG equivariance, invariants, Wigner conventions
+(parity with reference tests/agents/covariant/test_sphs.py, test_so3_tools.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molgym_tpu.ops.cg import cg_aggregate, cg_output_taus, cg_product, cg_table
+from molgym_tpu.ops.quadrature import gauss_legendre_sphere
+from molgym_tpu.ops.so3 import (apply_wigner, atomic_scalars, atomic_scalars_dim,
+                                cartesian_to_spherical, complex_product,
+                                gen_rot, generate_fibonacci_grid,
+                                get_normalization_constant, normalize_alms,
+                                spherical_to_cartesian, sum_product_alms_ylms,
+                                wigner_D)
+from molgym_tpu.ops.sph import spherical_harmonics
+
+
+def random_so3vec(rng, maxl, tau, batch=()):  # [..., tau, 2l+1, 2]
+    return [jnp.asarray(rng.randn(*batch, tau, 2 * l + 1, 2).astype(np.float32))
+            for l in range(maxl + 1)]
+
+
+class TestSphericalHarmonics:
+    def test_l1_mathematica(self):
+        pos = jnp.asarray(spherical_to_cartesian(np.array([np.pi / 2, 0.0])),
+                          jnp.float32)
+        y = spherical_harmonics(1, pos)
+        expected = np.array([[0.345494, 0], [0, 0], [-0.345494, 0]], np.float32)
+        np.testing.assert_allclose(np.asarray(y[1]), expected, atol=1e-5)
+
+    def test_l2_mathematica(self):
+        pos = jnp.asarray(spherical_to_cartesian(np.array([np.pi / 3, np.pi / 4])),
+                          jnp.float32)
+        y = spherical_harmonics(2, pos, normalize=False)
+        expected = np.array([[0, -0.289706], [0.236544, -0.236544],
+                             [-0.0788479, 0], [-0.236544, -0.236544],
+                             [0, 0.289706]], np.float32)
+        np.testing.assert_allclose(np.asarray(y[2]), expected, atol=1e-5)
+
+    def test_orthonormality(self):
+        """∫ Y_lm Y*_l'm' dΩ = δ_ll' δ_mm' (qm norm) via Gauss-Legendre grid."""
+        maxl = 4
+        points, weights = gauss_legendre_sphere(16)
+        y = spherical_harmonics(maxl, jnp.asarray(points, jnp.float32))
+        flat = np.concatenate([np.asarray(part) for part in y], axis=-2)
+        yc = flat[..., 0] + 1j * flat[..., 1]  # [K, sum(2l+1)]
+        gram = np.einsum('k,km,kn->mn', weights, yc, yc.conj())
+        np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-4)
+
+    def test_rotation_covariance(self):
+        """Y(Rx) = conj(D) @ Y(x) — the convention apply_wigner relies on."""
+        rng = np.random.RandomState(0)
+        ds, rot, _ = gen_rot(3, rng)
+        x = rng.randn(6, 3)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        y0 = spherical_harmonics(3, jnp.asarray(x, jnp.float32))
+        y1 = spherical_harmonics(3, jnp.asarray(x @ rot.T, jnp.float32))
+        for l in range(4):
+            c0 = np.asarray(y0[l])[..., 0] + 1j * np.asarray(y0[l])[..., 1]
+            c1 = np.asarray(y1[l])[..., 0] + 1j * np.asarray(y1[l])[..., 1]
+            np.testing.assert_allclose(c0 @ ds[l].conj().T, c1, atol=1e-5)
+
+    def test_conjugate_flag(self):
+        pos = jnp.asarray(np.random.RandomState(1).randn(4, 3), jnp.float32)
+        y = spherical_harmonics(2, pos)
+        yc = spherical_harmonics(2, pos, conj=True)
+        for a, b in zip(y, yc):
+            np.testing.assert_allclose(np.asarray(a)[..., 0], np.asarray(b)[..., 0])
+            np.testing.assert_allclose(np.asarray(a)[..., 1], -np.asarray(b)[..., 1])
+
+
+class TestCG:
+    def test_cg_table_orthogonality(self):
+        """sum_m1m2 C(m1,m2,m) C(m1,m2,m') = delta(m,m') for fixed (l1,l2,l)."""
+        for (l1, l2, l) in [(1, 1, 0), (1, 1, 1), (1, 1, 2), (2, 1, 2), (2, 2, 3)]:
+            t = cg_table(l1, l2, l).reshape(-1, 2 * l + 1)
+            np.testing.assert_allclose(t.T @ t, np.eye(2 * l + 1), atol=1e-12)
+
+    def test_known_value(self):
+        # <1 0 1 0 | 2 0> = sqrt(2/3)
+        t = cg_table(1, 1, 2)
+        assert t[1, 1, 2] == pytest.approx(np.sqrt(2.0 / 3.0))
+
+    def test_output_taus(self):
+        taus = cg_output_taus((3, 3), (3, 3), maxl=2)
+        # (l1,l2) pairs contributing to each l: l=0: (0,0),(1,1); l=1:
+        # (0,1),(1,0),(1,1); l=2: (1,1)
+        assert taus == (6, 9, 3)
+
+    def test_product_equivariance(self):
+        rng = np.random.RandomState(0)
+        maxl = 2
+        a = random_so3vec(rng, maxl, tau=2)
+        b = random_so3vec(rng, maxl, tau=2)
+        ds, _rot, _ = gen_rot(maxl, rng)
+
+        ab = cg_product(a, b, maxl)
+        ab_rot = apply_wigner(ab, ds)
+        rot_ab = cg_product(apply_wigner(a, ds), apply_wigner(b, ds), maxl)
+        for p, q in zip(ab_rot, rot_ab):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-4)
+
+    def test_aggregate_matches_manual_sum(self):
+        rng = np.random.RandomState(1)
+        maxl = 2
+        N, M, tau = 2, 3, 2
+        edge = [jnp.asarray(rng.randn(N, M, tau, 2 * l + 1, 2).astype(np.float32))
+                for l in range(maxl + 1)]
+        atom = random_so3vec(rng, maxl, tau, batch=(M, ))
+        agg = cg_aggregate(edge, atom, maxl)
+        # manual: per i, sum_j cg_product(edge[i,j], atom[j])
+        for i in range(N):
+            total = None
+            for j in range(M):
+                e_ij = [part[i, j] for part in edge]
+                a_j = [part[j] for part in atom]
+                p = cg_product(e_ij, a_j, maxl)
+                total = p if total is None else [x + y for x, y in zip(total, p)]
+            for l in range(maxl + 1):
+                np.testing.assert_allclose(np.asarray(agg[l][i]),
+                                           np.asarray(total[l]), atol=1e-4)
+
+
+class TestSO3Tools:
+    def test_fibonacci_grid_on_sphere(self):
+        grid = generate_fibonacci_grid(128)
+        np.testing.assert_allclose(np.linalg.norm(grid, axis=-1), 1.0, atol=1e-9)
+        # roughly uniform: mean should be near 0
+        assert np.linalg.norm(grid.mean(0)) < 0.05
+
+    def test_coordinate_roundtrip(self):
+        tp = np.array([[0.3, 1.1], [2.0, -2.5]])
+        np.testing.assert_allclose(
+            cartesian_to_spherical(spherical_to_cartesian(tp)),
+            tp, atol=1e-9)
+
+    def test_complex_product(self):
+        a = jnp.asarray(np.array([[1.0, 2.0]]))  # 1 + 2i
+        b = jnp.asarray(np.array([[3.0, -1.0]]))  # 3 - i
+        out = np.asarray(complex_product(a, b))
+        np.testing.assert_allclose(out, [[5.0, 5.0]])  # (1+2i)(3-i) = 5 + 5i
+
+    def test_normalize_alms(self):
+        rng = np.random.RandomState(0)
+        a = random_so3vec(rng, 3, tau=2, batch=(4, ))
+        norm = normalize_alms(a)
+        k = np.asarray(get_normalization_constant(norm))
+        np.testing.assert_allclose(k, 1.0, atol=1e-5)
+
+    def test_normalized_density_integrates_to_one(self):
+        """∫ |Σ a_lm Y_lm|² dΩ = 1 for normalized a (the reference checks this
+        by MC on a Fibonacci grid, test_spherical_distr.py:252-259)."""
+        rng = np.random.RandomState(2)
+        a = normalize_alms(random_so3vec(rng, 3, tau=2, batch=(2, )))
+        points, weights = gauss_legendre_sphere(12)
+        y = spherical_harmonics(3, jnp.asarray(points, jnp.float32))
+        # broadcast: a parts [B, tau, m, 2]; y parts [K, m, 2] -> [K, B]
+        y_b = [part[:, None, None, :, :] for part in y]
+        a_b = [part[None] for part in a]
+        s = sum_product_alms_ylms(a_b, y_b)  # [K, B, 2]
+        p = np.asarray(jnp.sum(jnp.square(s), axis=-1))
+        integral = np.einsum('k,kb->b', weights, p)
+        np.testing.assert_allclose(integral, 1.0, atol=1e-4)
+
+    def test_atomic_scalars_invariance(self):
+        rng = np.random.RandomState(3)
+        maxl = 4
+        a = random_so3vec(rng, maxl, tau=3, batch=(2, ))
+        ds, _, _ = gen_rot(maxl, rng)
+        s0 = atomic_scalars(a)
+        s1 = atomic_scalars(apply_wigner(a, ds))
+        assert s0.shape[-1] == atomic_scalars_dim(maxl, 3)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-4)
+
+    def test_wigner_unitary(self):
+        for l in range(1, 5):
+            d = wigner_D(l, 0.3, 1.1, -0.7)
+            np.testing.assert_allclose(d @ d.conj().T, np.eye(2 * l + 1),
+                                       atol=1e-12)
