@@ -1,0 +1,213 @@
+"""SO(3)-covariant message-passing network (Cormorant-style), in flax.
+
+Replaces the cormorant library stack the reference wraps
+(molgym/agents/covariant/modules.py): input charge-power featurization
+(modules.py:116-135), relative spherical harmonics + radial filters, N CG
+levels of {edge network, CG aggregation, CG square nonlinearity, concat-mix}
+(CormorantCG), and the CormorantMixer used to condition orientation
+coefficients on the sampled distance (modules.py:138-190).
+
+Design notes (TPU-first, not a translation):
+  * complex arithmetic = trailing (real, imag) axis; all CG contractions are
+    dense einsums against static CG tables (ops/cg.py) that XLA maps onto the
+    MXU — no per-l Python object graph at runtime.
+  * channel counts (taus) are uniform across l within a level, which keeps
+    every contraction a single fused einsum. The reference's per-(l1,l2)
+    ragged channel bookkeeping collapses into concat-then-mix.
+  * radial filters are Gaussian RBF bases mixed per (level, l) by a Dense
+    layer, gated by a soft sigmoid cutoff (cormorant's basis_set/soft cutoff
+    serve the same role; any fixed radial basis spans the same function space
+    after the learned mix).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from molgym_tpu.ops.cg import cg_aggregate, cg_product
+from molgym_tpu.ops.sph import spherical_harmonics_rel
+
+SO3Vec = List[jnp.ndarray]
+
+
+class ComplexLinear(nn.Module):
+    """Per-l complex channel mixing: out_t' = sum_t W_{t t'} a_t."""
+    tau_out: int
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [..., tau, m, 2]
+        tau_in = x.shape[-3]
+        scale = self.gain / np.sqrt(2.0 * tau_in)
+        w_r = self.param('w_r', nn.initializers.normal(scale), (tau_in, self.tau_out))
+        w_i = self.param('w_i', nn.initializers.normal(scale), (tau_in, self.tau_out))
+        xr, xi = x[..., 0], x[..., 1]
+        out_r = jnp.einsum('...tm,ts->...sm', xr, w_r) - jnp.einsum('...tm,ts->...sm', xi, w_i)
+        out_i = jnp.einsum('...tm,ts->...sm', xr, w_i) + jnp.einsum('...tm,ts->...sm', xi, w_r)
+        return jnp.stack([out_r, out_i], axis=-1)
+
+
+class CatMixReps(nn.Module):
+    """Concatenate SO3Vecs along tau and mix per l to tau_out channels
+    (cormorant CatMixReps)."""
+    maxl: int
+    tau_out: int
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, reps: Sequence[SO3Vec]) -> SO3Vec:
+        out = []
+        for l in range(self.maxl + 1):
+            parts = [rep[l] for rep in reps if l < len(rep)]
+            cat = jnp.concatenate(parts, axis=-3)
+            out.append(ComplexLinear(tau_out=self.tau_out, gain=self.gain,
+                                     name=f'mix_l{l}')(cat))
+        return out
+
+
+class RadialFilters(nn.Module):
+    """Per-l learned radial filters: Gaussian RBF basis -> Dense(tau), gated
+    by a soft cutoff (cormorant RadialFilters + soft cutoff_type)."""
+    maxl: int
+    tau: int
+    n_basis: int = 16
+    hard_cut: float = 2.1
+    soft_cut: float = 2.1
+    soft_width: float = 0.2
+
+    @nn.compact
+    def __call__(self, norms: jnp.ndarray, edge_mask: jnp.ndarray) -> List[jnp.ndarray]:
+        # norms: [B, N, N]; edge_mask: [B, N, N] bool
+        centers = jnp.linspace(0.0, self.hard_cut, self.n_basis)
+        width = centers[1] - centers[0]
+        gamma = 0.5 / (width * width)
+        rbf = jnp.exp(-gamma * jnp.square(norms[..., None] - centers))
+
+        soft = nn.sigmoid((self.soft_cut - norms) / self.soft_width)
+        gate = (edge_mask.astype(norms.dtype) * soft *
+                (norms < self.hard_cut).astype(norms.dtype))
+
+        out = []
+        for l in range(self.maxl + 1):
+            feats = nn.Dense(self.tau, name=f'rad_l{l}')(rbf)
+            out.append(feats * gate[..., None])  # [B, N, N, tau]
+        return out
+
+
+class CGLevel(nn.Module):
+    """One covariant message-passing level: edge (radial x Y_lm) reps CG-
+    aggregated over neighbors, CG-squared, then concat-mixed with the identity
+    path (cormorant CormorantCG level)."""
+    maxl: int
+    tau_out: int
+    gain: float = 10.0
+
+    @nn.compact
+    def __call__(self, atom_rep: SO3Vec, sph: SO3Vec, rad: List[jnp.ndarray],
+                 atom_mask: jnp.ndarray) -> SO3Vec:
+        # edge rep per l: [B, N, N, tau, 2l+1, 2]
+        tau = atom_rep[0].shape[-3]
+        edge_rep = []
+        for l in range(self.maxl + 1):
+            r = rad[l]
+            if r.shape[-1] != tau:
+                r = nn.Dense(tau, name=f'rad_adapt_l{l}')(r)
+            edge_rep.append(r[..., :, None, None] * sph[l][..., None, :, :])
+
+        ag = cg_aggregate(edge_rep, atom_rep, self.maxl)
+        # Bring the ragged (l1,l2)-pair channels to a uniform tau with an
+        # equivariant per-l mix before the CG square — keeps every
+        # contraction a single fused einsum (design delta vs cormorant's
+        # ragged channel bookkeeping; same function space).
+        ag = [ComplexLinear(tau_out=self.tau_out, gain=1.0,
+                            name=f'ag_mix_l{l}')(part)
+              for l, part in enumerate(ag)]
+        sq = cg_product(ag, ag, self.maxl)
+        out = CatMixReps(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
+                         name='cat_mix')([ag, sq, atom_rep])
+        mask = atom_mask[..., None, None, None].astype(out[0].dtype)
+        return [part * mask for part in out]
+
+
+class CormorantEncoder(nn.Module):
+    """Canvas -> per-atom SO3Vec covariants (the reference's Cormorant model,
+    covariant/modules.py:97-135). Output entry l: [B, N, tau_out, 2l+1, 2]."""
+    num_zs: int
+    maxl: int = 4
+    num_cg_levels: int = 3
+    num_channels_hidden: int = 10
+    num_channels_out: int = 8
+    charge_power: int = 2
+    charge_scale: float = 9.0
+    bag_scale: float = 5.0
+    hard_cut: float = 2.1
+    soft_cut: float = 2.1
+    soft_width: float = 0.2
+    level_gain: float = 10.0
+
+    @nn.compact
+    def __call__(self, elements: jnp.ndarray, positions: jnp.ndarray,
+                 bag: jnp.ndarray, zs_values: jnp.ndarray) -> SO3Vec:
+        # elements: [B, N] element indices; zs_values: [Z] atomic numbers
+        B, N = elements.shape
+        atom_mask = elements != 0
+        edge_mask = (atom_mask[:, :, None] & atom_mask[:, None, :] &
+                     ~jnp.eye(N, dtype=bool)[None])
+
+        # Input featurization: one-hot(z) x (z / charge_scale)^p, p = 0..P,
+        # concat tiled bag / bag_scale (reference modules.py:116-135).
+        charges = zs_values[elements].astype(jnp.float32)  # [B, N]
+        one_hot = (elements[..., None] == jnp.arange(self.num_zs)).astype(jnp.float32)
+        powers = jnp.stack([(charges / self.charge_scale) ** p
+                            for p in range(self.charge_power + 1)], axis=-1)
+        charge_feats = (one_hot[..., None] * powers[..., None, :]).reshape(B, N, -1)
+        bag_tiled = jnp.broadcast_to(
+            (bag.astype(jnp.float32) / self.bag_scale)[:, None, :],
+            (B, N, bag.shape[-1]))
+        scalars = jnp.concatenate([charge_feats, bag_tiled], axis=-1)
+
+        tau0 = self.num_channels_hidden
+        x0 = nn.Dense(tau0, name='input_linear')(scalars)  # [B, N, tau0]
+        zeros = jnp.zeros_like(x0)
+        # l=0 rep: [B, N, tau0, 1, 2] (m axis singleton, imag part zero)
+        rep0 = jnp.stack([x0, zeros], axis=-1)[..., None, :]
+        atom_rep: SO3Vec = [rep0 * atom_mask[..., None, None, None]]
+
+        # per l: [B, N, N, 2l+1, 2]
+        sph, norms = spherical_harmonics_rel(self.maxl, positions, positions,
+                                             conj=True)
+
+        channels = [self.num_channels_hidden] * (self.num_cg_levels - 1) + \
+            [self.num_channels_out]
+        for level, tau_out in enumerate(channels):
+            rad = RadialFilters(maxl=self.maxl, tau=atom_rep[0].shape[-3],
+                                hard_cut=self.hard_cut, soft_cut=self.soft_cut,
+                                soft_width=self.soft_width,
+                                name=f'radial_{level}')(norms, edge_mask)
+            atom_rep = CGLevel(maxl=self.maxl, tau_out=tau_out,
+                               gain=self.level_gain,
+                               name=f'cg_level_{level}')(
+                                   atom_rep, sph, rad, atom_mask)
+        return atom_rep
+
+
+class CormorantMixer(nn.Module):
+    """Condition covariants on another rep: ag = other (x) in; sq = ag (x) ag;
+    out = CatMix([ag, sq, in]) (reference CormorantMixer,
+    covariant/modules.py:138-190)."""
+    maxl: int
+    tau_out: int
+    gain: float = 10.0
+
+    @nn.compact
+    def __call__(self, atom_rep: SO3Vec, other_rep: SO3Vec) -> SO3Vec:
+        ag = cg_product(other_rep, atom_rep, self.maxl)
+        ag = [ComplexLinear(tau_out=self.tau_out, gain=1.0,
+                            name=f'ag_mix_l{l}')(part)
+              for l, part in enumerate(ag)]
+        sq = cg_product(ag, ag, self.maxl)
+        return CatMixReps(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
+                          name='cat_mix')([ag, sq, atom_rep])

@@ -1,0 +1,155 @@
+"""Policy distributions on the sphere S^2.
+
+Covers the reference's spherical_dists.py:
+
+  * SphericalUniform (spherical_dists.py:44-76) — inverse-CDF sampling
+  * SO3Distribution (spherical_dists.py:79-179) — p(n) = |sum a_lm Y_lm(n)|^2
+    with coefficients normalized so the density integrates to 1
+  * ExpSO3Distribution (spherical_dists.py:182-286) — p ∝ exp(-beta |...|^2),
+    log-partition via spherical quadrature (Lebedev in the reference; an
+    exactness-matched Gauss-Legendre product grid here, ops/quadrature.py)
+
+TPU-first sampling: the reference's data-dependent rejection loops
+(spherical_dists.py:133-150, 246-263) cannot live under jit. Instead a
+Gumbel-categorical draw over a randomly-rotated Fibonacci grid is used: exact
+to the grid's resolution (~4096 cells), shape-static, and the random rotation
+removes any fixed-grid bias across draws. log_prob is always evaluated with
+the exact continuous density, so PPO ratios are exact.
+
+Everything is a flax.struct pytree + pure functions (usable inside scan).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from molgym_tpu.ops.quadrature import gauss_legendre_sphere
+from molgym_tpu.ops.so3 import (generate_fibonacci_grid, normalize_alms,
+                                sum_product_alms_ylms)
+from molgym_tpu.ops.sph import spherical_harmonics
+
+LOG_4PI = math.log(4.0 * math.pi)
+
+_SAMPLE_GRID_N = 4096
+_ARGMAX_GRID_N = 4096
+
+
+# -- uniform -------------------------------------------------------------------
+
+def sample_uniform_sphere(rng: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
+    k1, k2 = jax.random.split(rng)
+    theta = jnp.arccos(1.0 - 2.0 * jax.random.uniform(k1, shape))
+    phi = 2.0 * jnp.pi * jax.random.uniform(k2, shape)
+    return jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                      jnp.sin(theta) * jnp.sin(phi),
+                      jnp.cos(theta)], axis=-1)
+
+
+def uniform_log_prob(points: jnp.ndarray) -> jnp.ndarray:
+    return jnp.full(points.shape[:-1], -LOG_4PI, dtype=points.dtype)
+
+
+# -- |sum a Y|^2 family ----------------------------------------------------------
+
+@struct.dataclass
+class SO3Distribution:
+    """Both the SO3 (beta None) and ExpSO3 (beta set) densities.
+
+    coefficients: tuple of [B, tau, 2l+1, 2] (already normalized).
+    empty:        bool[B] — uniform density for empty canvases.
+    log_z:        float32[B] — log partition (zero for the beta-None family,
+                  which is auto-normalized).
+    """
+    coefficients: Tuple[jnp.ndarray, ...]
+    empty: jnp.ndarray
+    log_z: jnp.ndarray
+    beta: Optional[float] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def maxl(self) -> int:
+        return len(self.coefficients) - 1
+
+
+def random_rotation_matrices(rng: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Uniform random rotations via normalized quaternions -> [n, 3, 3]."""
+    q = jax.random.normal(rng, (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def _density_core(dist: SO3Distribution, points: jnp.ndarray) -> jnp.ndarray:
+    """|sum a Y|^2 at points [..., B, 3] -> [..., B]."""
+    y = spherical_harmonics(dist.maxl, points, normalize=True)
+    # a: [B, tau, m, 2] -> broadcast against y [..., B, m, 2]
+    y_b = [part[..., None, :, :] for part in y]  # [..., B, 1, m, 2]
+    s = sum_product_alms_ylms(dist.coefficients, y_b)
+    return jnp.sum(jnp.square(s), axis=-1)
+
+
+def log_prob_unnormalized(dist: SO3Distribution, points: jnp.ndarray) -> jnp.ndarray:
+    p = _density_core(dist, points)
+    if dist.beta is None:
+        return jnp.log(jnp.maximum(p, 1e-10))
+    return -dist.beta * p
+
+
+def log_prob(dist: SO3Distribution, points: jnp.ndarray) -> jnp.ndarray:
+    """Exact continuous log-density at points [..., B, 3]."""
+    lp = log_prob_unnormalized(dist, points) - dist.log_z
+    return jnp.where(dist.empty, -LOG_4PI, lp)
+
+
+def make_so3_distribution(a_lms: Sequence[jnp.ndarray], empty: jnp.ndarray,
+                          beta: Optional[float] = None,
+                          quad_n_theta: int = 24) -> SO3Distribution:
+    coeffs = tuple(normalize_alms(a_lms))
+    batch = coeffs[0].shape[0]
+    if beta is None:
+        log_z = jnp.zeros((batch, ), jnp.float32)
+        return SO3Distribution(coefficients=coeffs, empty=empty, log_z=log_z,
+                               beta=None)
+    points, weights = gauss_legendre_sphere(quad_n_theta)
+    dist0 = SO3Distribution(coefficients=coeffs, empty=empty,
+                            log_z=jnp.zeros((batch, ), jnp.float32), beta=beta)
+    pts = jnp.asarray(points.astype(np.float32))[:, None, :]  # [K, 1, 3]
+    lp_u = log_prob_unnormalized(dist0, pts)  # [K, B]
+    log_w = jnp.asarray(np.log(weights).astype(np.float32))[:, None]
+    log_z = jax.nn.logsumexp(lp_u + log_w, axis=0)  # [B]
+    return SO3Distribution(coefficients=coeffs, empty=empty, log_z=log_z,
+                           beta=beta)
+
+
+def sample(dist: SO3Distribution, rng: jnp.ndarray,
+           grid_n: int = _SAMPLE_GRID_N) -> jnp.ndarray:
+    """One sample per batch element -> [B, 3]: Gumbel-categorical over a
+    randomly rotated Fibonacci grid weighted by the density."""
+    batch = dist.coefficients[0].shape[0]
+    k_rot, k_cat = jax.random.split(rng)
+    grid = jnp.asarray(generate_fibonacci_grid(grid_n).astype(np.float32))
+    rots = random_rotation_matrices(k_rot, batch)  # [B, 3, 3]
+    points = jnp.einsum('bij,kj->kbi', rots, grid)  # [K, B, 3]
+    logits = log_prob_unnormalized(dist, points)  # [K, B]
+    logits = jnp.where(dist.empty[None, :], 0.0, logits)
+    g = jax.random.gumbel(k_cat, logits.shape)
+    idx = jnp.argmax(logits + g, axis=0)  # [B]
+    return jnp.take_along_axis(points, idx[None, :, None], axis=0)[0]
+
+
+def argmax(dist: SO3Distribution, grid_n: int = _ARGMAX_GRID_N) -> jnp.ndarray:
+    """Mode estimate on a fixed fine grid (deterministic; replaces the
+    reference's sample-based argmax, spherical_dists.py:152-158)."""
+    grid = jnp.asarray(generate_fibonacci_grid(grid_n).astype(np.float32))
+    points = grid[:, None, :]  # [K, 1, 3]
+    logits = log_prob_unnormalized(dist, points)  # [K, B]
+    idx = jnp.argmax(logits, axis=0)  # [B]
+    return grid[idx]

@@ -1,0 +1,139 @@
+"""Spherical distribution + GMM tests (parity with reference
+tests/agents/covariant/test_spherical_distr.py and test_gmm.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molgym_tpu.distributions import spherical
+from molgym_tpu.distributions.gmm import gmm_argmax, gmm_log_prob, gmm_sample
+from molgym_tpu.ops.quadrature import gauss_legendre_sphere
+from molgym_tpu.ops.so3 import generate_fibonacci_grid
+
+
+def random_alms(rng, maxl=3, tau=2, batch=2):
+    return [jnp.asarray(rng.randn(batch, tau, 2 * l + 1, 2).astype(np.float32))
+            for l in range(maxl + 1)]
+
+
+def integrate(dist, n_theta=24):
+    points, weights = gauss_legendre_sphere(n_theta)
+    pts = jnp.asarray(points.astype(np.float32))[:, None, :]
+    lp = spherical.log_prob(dist, pts)  # [K, B]
+    return np.einsum('k,kb->b', weights, np.exp(np.asarray(lp)))
+
+
+class TestUniform:
+    def test_sample_stats(self):
+        pts = spherical.sample_uniform_sphere(jax.random.PRNGKey(0), (4000, ))
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(pts), axis=-1), 1.0,
+                                   atol=1e-5)
+        assert np.linalg.norm(np.asarray(pts).mean(0)) < 0.05
+
+    def test_log_prob(self):
+        pts = spherical.sample_uniform_sphere(jax.random.PRNGKey(0), (5, ))
+        np.testing.assert_allclose(spherical.uniform_log_prob(pts),
+                                   -np.log(4 * np.pi), atol=1e-6)
+
+
+class TestSO3Distribution:
+    def test_normalization(self):
+        rng = np.random.RandomState(0)
+        dist = spherical.make_so3_distribution(
+            random_alms(rng), empty=jnp.zeros(2, bool))
+        np.testing.assert_allclose(integrate(dist), 1.0, atol=1e-4)
+
+    def test_exp_so3_normalization(self):
+        rng = np.random.RandomState(1)
+        for beta in (-10.0, 10.0, 100.0):
+            dist = spherical.make_so3_distribution(
+                random_alms(rng), empty=jnp.zeros(2, bool), beta=beta)
+            np.testing.assert_allclose(integrate(dist, n_theta=40), 1.0,
+                                       atol=5e-3)
+
+    def test_empty_is_uniform(self):
+        rng = np.random.RandomState(2)
+        dist = spherical.make_so3_distribution(
+            random_alms(rng, batch=2), empty=jnp.array([True, False]))
+        pts = jnp.asarray(generate_fibonacci_grid(16).astype(np.float32))[:, None, :]
+        lp = np.asarray(spherical.log_prob(dist, pts))
+        np.testing.assert_allclose(lp[:, 0], -np.log(4 * np.pi), atol=1e-6)
+        assert np.std(lp[:, 1]) > 1e-3
+
+    def test_sample_shape_and_norm(self):
+        rng = np.random.RandomState(3)
+        dist = spherical.make_so3_distribution(
+            random_alms(rng, batch=4), empty=jnp.zeros(4, bool))
+        s = spherical.sample(dist, jax.random.PRNGKey(0))
+        assert s.shape == (4, 3)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(s), axis=-1), 1.0,
+                                   atol=1e-5)
+
+    def test_sampler_matches_density(self):
+        """Empirical mean direction of samples must match the density's mean
+        direction (validates the rotated-grid categorical sampler)."""
+        rng = np.random.RandomState(4)
+        alms = random_alms(rng, maxl=2, tau=1, batch=1)
+        dist = spherical.make_so3_distribution(alms, empty=jnp.zeros(1, bool))
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 2000)
+        samples = jax.vmap(lambda k: spherical.sample(dist, k, grid_n=2048))(keys)
+        emp_mean = np.asarray(samples)[:, 0, :].mean(0)
+
+        points, weights = gauss_legendre_sphere(24)
+        pts = jnp.asarray(points.astype(np.float32))[:, None, :]
+        p = np.exp(np.asarray(spherical.log_prob(dist, pts)))[:, 0]
+        true_mean = np.einsum('k,k,kc->c', weights, p, points)
+        np.testing.assert_allclose(emp_mean, true_mean, atol=0.05)
+
+    def test_batch_independence(self):
+        """Sampling for batch item i must not depend on other batch items
+        (reference test_spherical_distr.py checks this)."""
+        rng = np.random.RandomState(5)
+        alms = random_alms(rng, batch=3)
+        dist3 = spherical.make_so3_distribution(alms, empty=jnp.zeros(3, bool))
+        sub = [a[:1] for a in alms]
+        dist1 = spherical.make_so3_distribution(sub, empty=jnp.zeros(1, bool))
+        pts = jnp.asarray(generate_fibonacci_grid(8).astype(np.float32))
+        lp3 = np.asarray(spherical.log_prob(dist3, pts[:, None, :]))[:, 0]
+        lp1 = np.asarray(spherical.log_prob(dist1, pts[:, None, :]))[:, 0]
+        np.testing.assert_allclose(lp3, lp1, atol=1e-6)
+
+    def test_argmax_near_max(self):
+        rng = np.random.RandomState(6)
+        dist = spherical.make_so3_distribution(
+            random_alms(rng, batch=2), empty=jnp.zeros(2, bool))
+        mode = spherical.argmax(dist)
+        lp_mode = np.asarray(spherical.log_prob(dist, mode[None, :, :]))[0]
+        pts = jnp.asarray(generate_fibonacci_grid(512).astype(np.float32))[:, None, :]
+        lp_grid = np.asarray(spherical.log_prob(dist, pts)).max(0)
+        assert np.all(lp_mode >= lp_grid - 1e-3)
+
+
+class TestGMM:
+    def setup_method(self):
+        self.log_w = jnp.log(jnp.array([[0.7, 0.3]]))
+        self.means = jnp.array([[1.0, 2.0]])
+        self.stds = jnp.array([0.1, 0.1])
+
+    def test_log_prob_matches_scipy(self):
+        from scipy.stats import norm
+        xs = np.linspace(0.5, 2.5, 7)
+        for x in xs:
+            expected = np.log(0.7 * norm.pdf(x, 1.0, 0.1) +
+                              0.3 * norm.pdf(x, 2.0, 0.1))
+            got = float(gmm_log_prob(self.log_w, self.means, self.stds,
+                                     jnp.array([x], jnp.float32))[0])
+            assert got == pytest.approx(expected, abs=1e-3)
+
+    def test_sample_stats(self):
+        keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+        samples = jax.vmap(lambda k: gmm_sample(k, self.log_w, self.means,
+                                                self.stds))(keys)
+        mean = float(np.asarray(samples).mean())
+        assert mean == pytest.approx(0.7 * 1.0 + 0.3 * 2.0, abs=0.05)
+
+    def test_argmax_near_dominant_mode(self):
+        mode = gmm_argmax(jax.random.PRNGKey(1), self.log_w, self.means,
+                          self.stds, count=256)
+        assert float(mode[0]) == pytest.approx(1.0, abs=0.1)
