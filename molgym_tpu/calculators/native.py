@@ -1,0 +1,143 @@
+"""ctypes bindings to the native host runtime (csrc/libmolgym_host.so).
+
+The library is built on demand with `make -C csrc` (g++, no deps). It provides
+the thread-pooled batched reward evaluator and single-molecule energies/
+gradients with analytic derivatives (the minimizer backend), replacing the
+role scine_sparrow's pybind11 layer plays for the reference
+(molgym/calculator.py) with a C ABI + ctypes (no pybind11 in this image).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), 'csrc')
+_LIB_PATH = os.path.join(_CSRC_DIR, 'libmolgym_host.so')
+
+METHOD_LJ = 0
+METHOD_MORSE = 1
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    subprocess.run(['make', '-C', _CSRC_DIR], check=True,
+                   capture_output=True)
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    c_dbl_p = ctypes.POINTER(ctypes.c_double)
+    c_u8_p = ctypes.POINTER(ctypes.c_ubyte)
+
+    lib.mg_batch_reward.restype = ctypes.c_int
+    lib.mg_batch_reward.argtypes = [
+        ctypes.c_int, ctypes.c_int, c_int_p, c_dbl_p, c_int_p, c_int_p,
+        c_dbl_p, c_u8_p, ctypes.c_int, ctypes.c_double, c_dbl_p
+    ]
+    lib.mg_energy.restype = ctypes.c_double
+    lib.mg_energy.argtypes = [c_int_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_double]
+    lib.mg_gradients.restype = ctypes.c_int
+    lib.mg_gradients.argtypes = [c_int_p, c_dbl_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_double, c_dbl_p]
+    lib.mg_pool_stats.restype = None
+    lib.mg_pool_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong),
+                                  ctypes.POINTER(ctypes.c_longlong)]
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeBatchCalculator:
+    """Batched interaction-reward evaluator over the native thread pool."""
+
+    def __init__(self, method: int = METHOD_LJ, epsilon: float = 0.15) -> None:
+        self.lib = load_library()
+        self.method = method
+        self.epsilon = epsilon
+
+    def batch_reward(self, zs: np.ndarray, positions: np.ndarray,
+                     n_atoms: np.ndarray, new_z: np.ndarray,
+                     new_pos: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        n_mols, max_atoms = zs.shape
+        zs = np.ascontiguousarray(zs, dtype=np.int32)
+        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        n_atoms = np.ascontiguousarray(n_atoms, dtype=np.int32)
+        new_z = np.ascontiguousarray(new_z, dtype=np.int32)
+        new_pos = np.ascontiguousarray(new_pos, dtype=np.float64)
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        rewards = np.zeros(n_mols, dtype=np.float64)
+        ret = self.lib.mg_batch_reward(
+            n_mols, max_atoms, _ptr(zs, ctypes.c_int),
+            _ptr(positions, ctypes.c_double), _ptr(n_atoms, ctypes.c_int),
+            _ptr(new_z, ctypes.c_int), _ptr(new_pos, ctypes.c_double),
+            _ptr(valid, ctypes.c_ubyte), self.method, self.epsilon,
+            _ptr(rewards, ctypes.c_double))
+        assert ret == 0
+        return rewards
+
+    def pool_stats(self) -> Tuple[int, int]:
+        evals = ctypes.c_longlong()
+        batches = ctypes.c_longlong()
+        self.lib.mg_pool_stats(ctypes.byref(evals), ctypes.byref(batches))
+        return evals.value, batches.value
+
+
+class NativeCalc:
+    """Single-molecule calculator with the Sparrow-adapter API shape
+    (set_elements/set_positions/set_settings/calculate_energy/
+    calculate_gradients — reference molgym/calculator.py:9-81), backed by the
+    native pair potentials. Usable directly by the BFGS minimizer."""
+
+    def __init__(self, method: str = 'LJ', epsilon: float = 0.15) -> None:
+        from molgym_tpu.periodic import ATOMIC_NUMBERS
+        self.lib = load_library()
+        self.method = METHOD_MORSE if method.upper() == 'MORSE' else METHOD_LJ
+        self.epsilon = epsilon
+        self._atomic_numbers = ATOMIC_NUMBERS
+        self._zs: Optional[np.ndarray] = None
+        self._positions: Optional[np.ndarray] = None
+
+    def set_elements(self, elements: Sequence) -> None:
+        zs = [self._atomic_numbers[e] if isinstance(e, str) else int(e)
+              for e in elements]
+        self._zs = np.ascontiguousarray(zs, dtype=np.int32)
+
+    def set_positions(self, positions) -> None:
+        self._positions = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 3)
+
+    def set_settings(self, settings: dict) -> None:
+        # Pair potentials have no SCF settings; accepted for API parity.
+        self._settings = dict(settings)
+
+    def calculate_energy(self) -> float:
+        assert self._zs is not None and self._positions is not None
+        return float(self.lib.mg_energy(
+            _ptr(self._zs, ctypes.c_int), _ptr(self._positions, ctypes.c_double),
+            len(self._zs), self.method, self.epsilon))
+
+    def calculate_gradients(self) -> np.ndarray:
+        assert self._zs is not None and self._positions is not None
+        grad = np.zeros((len(self._zs), 3), dtype=np.float64)
+        ret = self.lib.mg_gradients(
+            _ptr(self._zs, ctypes.c_int), _ptr(self._positions, ctypes.c_double),
+            len(self._zs), self.method, self.epsilon,
+            _ptr(grad, ctypes.c_double))
+        assert ret == 0
+        return grad
