@@ -23,6 +23,7 @@ from molgym_tpu.spaces import Observation
 @struct.dataclass
 class Trajectory:
     obs: Observation  # [T, B, ...]
+    next_obs: Observation  # [T, B, ...] post-step, pre-reset (buffer.py:16-18)
     actions: jnp.ndarray  # float32[T, B, A]
     rewards: jnp.ndarray  # float32[T, B]
     terminals: jnp.ndarray  # bool[T, B]

@@ -164,6 +164,7 @@ def batch_ppo(
     agent,
     params,
     *,
+    opt_state=None,
     num_envs: int,
     num_eval_envs: int = 1,
     config: PPOConfig = PPOConfig(),
@@ -188,7 +189,8 @@ def batch_ppo(
     steps_per_env = num_steps_per_iter // num_envs
 
     optimizer = make_optimizer(config)
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
 
     rollout_fn = make_rollout_fn(envs, agent, steps_per_env, deterministic=False)
     data_fn = jax.jit(lambda traj: compute_ppo_data(traj, config.gamma, config.lam))

@@ -19,7 +19,7 @@ from molgym_tpu.rl.buffer import Trajectory
 
 
 def make_rollout_fn(env: MolecularEnv, agent, num_steps_per_env: int,
-                    deterministic: bool = False) -> Callable:
+                    deterministic: bool = False, jit: bool = True) -> Callable:
     """Returns jitted rollout(params, states, rng) -> (states, Trajectory).
 
     Matches reference batch_rollout semantics: all envs are reset at rollout
@@ -34,13 +34,13 @@ def make_rollout_fn(env: MolecularEnv, agent, num_steps_per_env: int,
             rng, key = jax.random.split(rng)
             out = agent.apply(params, obs, key, deterministic, method=agent.act)
             result = env.step(states, out.element, out.position)
-            transition = (obs, out.action_flat, result.reward, result.done,
-                          out.v, out.logp)
+            transition = (obs, result.observation, out.action_flat,
+                          result.reward, result.done, out.v, out.logp)
             next_states, next_obs = env.reset_if_terminal(result.state, result.done)
             return (next_states, next_obs, rng), transition
 
-        (states, final_obs, rng), (obs_seq, act_seq, rew_seq, term_seq, val_seq,
-                                   logp_seq) = jax.lax.scan(
+        (states, final_obs, rng), (obs_seq, next_obs_seq, act_seq, rew_seq,
+                                   term_seq, val_seq, logp_seq) = jax.lax.scan(
                                        body, (states, obs, rng), None,
                                        length=num_steps_per_env)
 
@@ -48,9 +48,10 @@ def make_rollout_fn(env: MolecularEnv, agent, num_steps_per_env: int,
         rng, key = jax.random.split(rng)
         final_out = agent.apply(params, final_obs, key, True, method=agent.act)
 
-        traj = Trajectory(obs=obs_seq, actions=act_seq, rewards=rew_seq,
+        traj = Trajectory(obs=obs_seq, next_obs=next_obs_seq, actions=act_seq,
+                          rewards=rew_seq,
                           terminals=term_seq, values=val_seq, logps=logp_seq,
                           bootstrap_value=final_out.v)
         return states, traj
 
-    return jax.jit(rollout)
+    return jax.jit(rollout) if jit else rollout

@@ -1,0 +1,104 @@
+"""Tools tests: checkpoint IO round-trip, analysis regexes, QM9 parser."""
+import io
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molgym_tpu.tools.analysis import (parse_buffer_filename,
+                                       parse_json_lines_file,
+                                       parse_results_filename)
+from molgym_tpu.tools.model_io import ModelIO
+from molgym_tpu.tools.qm9_parser import parse_dataset
+
+
+class TestModelIO:
+    def _params(self, seed=0):
+        rng = np.random.RandomState(seed)
+        return {'dense': {'kernel': jnp.asarray(rng.randn(3, 4).astype(np.float32)),
+                          'bias': jnp.zeros(4)}}
+
+    def test_save_load_roundtrip(self, tmp_path):
+        handler = ModelIO(directory=str(tmp_path), tag='exp_run-0')
+        params = self._params()
+        handler.save(params, opt_state=None, num_steps=128)
+        state, steps = handler.load_latest(template={'params': self._params(1)})
+        assert steps == 128
+        np.testing.assert_allclose(state['params']['dense']['kernel'],
+                                   params['dense']['kernel'])
+
+    def test_latest_picks_max_and_deletes_old(self, tmp_path):
+        handler = ModelIO(directory=str(tmp_path), tag='exp_run-0')
+        handler.save(self._params(0), num_steps=100)
+        handler.save(self._params(1), num_steps=200)
+        # old checkpoint deleted (keep=False)
+        names = os.listdir(tmp_path)
+        assert 'exp_run-0_steps-100.model' not in names
+        _, steps = handler.load_latest(template={'params': self._params(2)})
+        assert steps == 200
+
+    def test_keep_models(self, tmp_path):
+        handler = ModelIO(directory=str(tmp_path), tag='exp_run-0', keep=True)
+        handler.save(self._params(0), num_steps=100)
+        handler.save(self._params(1), num_steps=200)
+        names = os.listdir(tmp_path)
+        assert 'exp_run-0_steps-100.model' in names
+
+    def test_missing_raises(self, tmp_path):
+        handler = ModelIO(directory=str(tmp_path), tag='nope_run-0')
+        with pytest.raises(RuntimeError):
+            handler.load_latest()
+
+
+class TestAnalysis:
+    def test_buffer_filename(self):
+        meta = parse_buffer_filename('exp_run-3_steps-1280_eval.pkl')
+        assert meta == {'name': 'exp', 'seed': 3, 'steps': 1280, 'rank': 0,
+                        'mode': 'eval'}
+
+    def test_buffer_filename_with_rank(self):
+        meta = parse_buffer_filename('exp_run-3_steps-1280_rank-2_train.pkl')
+        assert meta['rank'] == 2 and meta['mode'] == 'train'
+
+    def test_results_filename(self):
+        meta = parse_results_filename('exp_run-1_train.txt')
+        assert meta == {'name': 'exp', 'seed': 1, 'mode': 'train'}
+
+    def test_bad_filename_raises(self):
+        with pytest.raises(RuntimeError):
+            parse_buffer_filename('garbage.pkl')
+
+    def test_json_lines(self, tmp_path):
+        path = tmp_path / 'x.txt'
+        path.write_text('{"a": 1}\n{"a": 2}\n')
+        assert parse_json_lines_file(str(path)) == [{'a': 1}, {'a': 2}]
+
+
+GDB_ENTRY = b"""3
+gdb 1\t157.7 157.7 157.7 0. 13.2 -0.38 0.11 0.5 35.3 0.044 -40.4 -40.4 -40.4 -40.4 6.4
+C\t-0.012 1.08 0.008\t-0.5
+H\t0.002 -0.006 0.002\t0.13
+H\t1.011 1.46 0.0\t0.13
+100.1 200.2 300.3
+C C
+InChI=1S/CH4/h1H4 InChI=1S/CH4/h1H4
+"""
+
+
+class TestQM9Parser:
+    def test_parse_tar(self, tmp_path):
+        tar_path = str(tmp_path / 'gdb9.tar')
+        with tarfile.open(tar_path, 'w') as tar:
+            info = tarfile.TarInfo('dsgdb9nsd_000001.xyz')
+            data = GDB_ENTRY.replace(b'-0.38', b'-0.38*^0')  # notation fixup
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        entries = list(parse_dataset(tar_path))
+        assert len(entries) == 1
+        gdb_id, atoms, meta = entries[0]
+        assert gdb_id == '1'
+        assert atoms.symbols == ['C', 'H', 'H']
+        assert meta['smiles'] == 'C'
