@@ -74,11 +74,131 @@ def _pair_taus(t1: int, t2: int) -> int:
     return max(t1, t2)
 
 
+# ---------------------------------------------------------------------------
+# Fused path: ONE packed contraction per CG product.
+#
+# Per-(l1,l2,l) einsums generate hundreds of tiny HLO ops per product (25 l
+# pairs x up to 5 outputs at maxl=4), which blows up both XLA compile time
+# and MXU utilization. Instead all l blocks are packed along the m axis
+# (M = sum_l 2l+1) and contracted against a single combined block table
+# C[M1, M2, K_out] built host-side — one big (complex) einsum the MXU tiles
+# well. Output layout matches the loop implementation exactly (per l, pairs
+# concatenated along tau) — verified in tests/covariant/test_so3_ops.py.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _fused_cg_table(n_ells1: int, n_ells2: int, maxl: int):
+    """Combined table [M1, M2, K] + unpack metadata.
+
+    K slots are grouped by output l; within an l, (l1, l2) pairs in loop
+    order, each occupying 2l+1 consecutive slots.
+    Returns (table float32 [M1, M2, K], slices: list over l of
+    (offset, n_pairs)).
+    """
+    m1_tot = sum(2 * l + 1 for l in range(n_ells1))
+    m2_tot = sum(2 * l + 1 for l in range(n_ells2))
+    off1 = np.cumsum([0] + [2 * l + 1 for l in range(n_ells1)])
+    off2 = np.cumsum([0] + [2 * l + 1 for l in range(n_ells2)])
+
+    blocks = []  # (l, l1, l2)
+    for l in range(maxl + 1):
+        for l1 in range(n_ells1):
+            for l2 in range(n_ells2):
+                if abs(l1 - l2) <= l <= l1 + l2:
+                    blocks.append((l, l1, l2))
+    k_tot = sum(2 * l + 1 for (l, _l1, _l2) in blocks)
+
+    table = np.zeros((m1_tot, m2_tot, k_tot), dtype=np.float32)
+    slices = [[0, 0] for _ in range(maxl + 1)]
+    k = 0
+    for l in range(maxl + 1):
+        slices[l][0] = k
+        for (lo, l1, l2) in blocks:
+            if lo != l:
+                continue
+            sub = cg_table(l1, l2, l).astype(np.float32)
+            table[off1[l1]:off1[l1 + 1], off2[l2]:off2[l2 + 1],
+                  k:k + 2 * l + 1] = sub
+            slices[l][1] += 1
+            k += 2 * l + 1
+    return table, tuple((s[0], s[1]) for s in slices)
+
+
+def _broadcast_taus(rep1, rep2):
+    taus = [max(a.shape[-3] for a in rep1), max(b.shape[-3] for b in rep2)]
+    tau = _pair_taus(taus[0], taus[1])
+
+    def expand(rep):
+        out = []
+        for a in rep:
+            t = a.shape[-3]
+            assert t == tau or t == 1, f'per-l tau {t} vs {tau}'
+            if t != tau:
+                a = jnp.broadcast_to(a, a.shape[:-3] + (tau, ) + a.shape[-2:])
+            out.append(a)
+        return out
+
+    return expand(rep1), expand(rep2), tau
+
+
+def _pack_m(rep) -> jnp.ndarray:
+    return jnp.concatenate(list(rep), axis=-2)  # [..., tau, M, 2]
+
+
+def _unpack_out(out_flat: jnp.ndarray, slices, maxl: int) -> List[jnp.ndarray]:
+    """out_flat [..., tau, K, 2] -> per-l [..., n_pairs*tau, 2l+1, 2] with the
+    loop implementation's pair-major tau concat order."""
+    outs = []
+    for l in range(maxl + 1):
+        offset, n_pairs = slices[l]
+        width = n_pairs * (2 * l + 1)
+        part = out_flat[..., :, offset:offset + width, :]
+        shape = part.shape
+        tau = shape[-3]
+        part = part.reshape(shape[:-2] + (n_pairs, 2 * l + 1, 2))
+        part = jnp.moveaxis(part, -3, -4)  # [..., n_pairs, tau, 2l+1, 2]
+        part = part.reshape(shape[:-3] + (n_pairs * tau, 2 * l + 1, 2))
+        outs.append(part)
+    return outs
+
+
 def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
                maxl: int) -> List[jnp.ndarray]:
     """Channel-wise CG tensor product of two SO3Vecs (cormorant CGProduct with
-    aggregate=False). Output entry l concatenates, along tau, the (l1, l2)
-    pairs with |l1-l2| <= l <= min(l1+l2, maxl)."""
+    aggregate=False): fused single-einsum path. Output entry l concatenates,
+    along tau, the (l1, l2) pairs with |l1-l2| <= l <= min(l1+l2, maxl)."""
+    rep1, rep2, _tau = _broadcast_taus(rep1, rep2)
+    table_np, slices = _fused_cg_table(len(rep1), len(rep2), maxl)
+    a = _pack_m(rep1)
+    b = _pack_m(rep2)
+    out = _complex_contract(a, b, jnp.asarray(table_np), '...tm,...tn,mnk->...tk')
+    return _unpack_out(out, slices, maxl)
+
+
+def cg_aggregate(edge_rep: Sequence[jnp.ndarray], atom_rep: Sequence[jnp.ndarray],
+                 maxl: int) -> List[jnp.ndarray]:
+    """Neighborhood-aggregating CG product (cormorant CGProduct with
+    aggregate=True): out_i = sum_j edge_ij (x)_CG atom_j — fused path.
+
+    edge_rep entry l2: [..., N, M, tau, 2*l2+1, 2]
+    atom_rep entry l1: [..., M, tau, 2*l1+1, 2]
+    output entry l:    [..., N, tau_out, 2*l+1, 2]
+    """
+    edge_rep, atom_rep, _tau = _broadcast_taus(edge_rep, atom_rep)
+    # note argument order: the fused table is built as (edge l2, atom l1) to
+    # match the loop implementation's cg_table(l2, l1, l) usage.
+    table_np, slices = _fused_cg_table(len(edge_rep), len(atom_rep), maxl)
+    e = _pack_m(edge_rep)
+    a = _pack_m(atom_rep)
+    out = _complex_contract(e, a, jnp.asarray(table_np),
+                            '...ijtm,...jtn,mnk->...itk')
+    return _unpack_out(out, slices, maxl)
+
+
+def _cg_product_loops(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
+                      maxl: int) -> List[jnp.ndarray]:
+    """Per-(l1,l2,l) loop implementation — reference semantics oracle for the
+    fused path (tests cross-check both)."""
     ells1 = range(len(rep1))
     ells2 = range(len(rep2))
     out_parts: List[List[jnp.ndarray]] = [[] for _ in range(maxl + 1)]
@@ -97,15 +217,10 @@ def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
     return [jnp.concatenate(parts, axis=-3) for parts in out_parts]
 
 
-def cg_aggregate(edge_rep: Sequence[jnp.ndarray], atom_rep: Sequence[jnp.ndarray],
-                 maxl: int) -> List[jnp.ndarray]:
-    """Neighborhood-aggregating CG product (cormorant CGProduct with
-    aggregate=True): out_i = sum_j edge_ij ⊗_CG atom_j.
-
-    edge_rep entry l2: [..., N, M, tau, 2*l2+1, 2]
-    atom_rep entry l1: [..., M, tau, 2*l1+1, 2]
-    output entry l:    [..., N, tau_out, 2*l+1, 2]
-    """
+def _cg_aggregate_loops(edge_rep: Sequence[jnp.ndarray],
+                        atom_rep: Sequence[jnp.ndarray],
+                        maxl: int) -> List[jnp.ndarray]:
+    """Loop implementation of cg_aggregate — semantics oracle for tests."""
     out_parts: List[List[jnp.ndarray]] = [[] for _ in range(maxl + 1)]
     for l2 in range(len(edge_rep)):
         for l1 in range(len(atom_rep)):

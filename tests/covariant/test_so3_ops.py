@@ -6,7 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from molgym_tpu.ops.cg import cg_aggregate, cg_output_taus, cg_product, cg_table
+from molgym_tpu.ops.cg import (_cg_aggregate_loops, _cg_product_loops,
+                               cg_aggregate, cg_output_taus, cg_product,
+                               cg_table)
 from molgym_tpu.ops.quadrature import gauss_legendre_sphere
 from molgym_tpu.ops.so3 import (apply_wigner, atomic_scalars, atomic_scalars_dim,
                                 cartesian_to_spherical, complex_product,
@@ -101,6 +103,43 @@ class TestCG:
         rot_ab = cg_product(apply_wigner(a, ds), apply_wigner(b, ds), maxl)
         for p, q in zip(ab_rot, rot_ab):
             np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-4)
+
+    def test_fused_matches_loops_product(self):
+        """The fused single-einsum CG product must be numerically identical
+        (layout included) to the per-(l1,l2,l) loop implementation."""
+        rng = np.random.RandomState(7)
+        for maxl in (1, 2, 4):
+            a = random_so3vec(rng, maxl, tau=3, batch=(2, ))
+            b = random_so3vec(rng, maxl, tau=3, batch=(2, ))
+            fused = cg_product(a, b, maxl)
+            loops = _cg_product_loops(a, b, maxl)
+            for p, q in zip(fused, loops):
+                assert p.shape == q.shape
+                np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                           atol=1e-5)
+
+    def test_fused_matches_loops_aggregate(self):
+        rng = np.random.RandomState(8)
+        maxl = 3
+        N, M, tau = 3, 4, 2
+        edge = [jnp.asarray(rng.randn(N, M, tau, 2 * l + 1, 2).astype(np.float32))
+                for l in range(maxl + 1)]
+        atom = random_so3vec(rng, maxl, tau, batch=(M, ))
+        fused = cg_aggregate(edge, atom, maxl)
+        loops = _cg_aggregate_loops(edge, atom, maxl)
+        for p, q in zip(fused, loops):
+            assert p.shape == q.shape
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-4)
+
+    def test_fused_broadcast_tau(self):
+        rng = np.random.RandomState(9)
+        maxl = 2
+        a = random_so3vec(rng, maxl, tau=1, batch=(2, ))
+        b = random_so3vec(rng, maxl, tau=4, batch=(2, ))
+        fused = cg_product(a, b, maxl)
+        loops = _cg_product_loops(a, b, maxl)
+        for p, q in zip(fused, loops):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-5)
 
     def test_aggregate_matches_manual_sum(self):
         rng = np.random.RandomState(1)
