@@ -57,9 +57,21 @@ def make_batch(rng_seed=0):
     return elements, positions, bag
 
 
+def _enable_compile_cache():
+    import os
+    import jax
+    cache_dir = os.environ.get('MOLGYM_TPU_XLA_CACHE',
+                               '/tmp/molgym_tpu_xla_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
 def bench_ours(iters=30):
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from molgym_tpu.agents.covariant import CovariantAC
     from molgym_tpu.spaces import Observation
