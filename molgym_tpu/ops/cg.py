@@ -162,16 +162,34 @@ def _unpack_out(out_flat: jnp.ndarray, slices, maxl: int) -> List[jnp.ndarray]:
     return outs
 
 
+# Contraction backend for the elementwise CG product: 'einsum' (XLA) or
+# 'pallas' (fused outer-product + MXU matmul kernel, ops/pallas_cg.py).
+_CG_BACKEND = 'einsum'
+
+
+def set_cg_backend(backend: str) -> None:
+    global _CG_BACKEND
+    assert backend in ('einsum', 'pallas', 'pallas_interpret')
+    _CG_BACKEND = backend
+
+
 def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
                maxl: int) -> List[jnp.ndarray]:
     """Channel-wise CG tensor product of two SO3Vecs (cormorant CGProduct with
-    aggregate=False): fused single-einsum path. Output entry l concatenates,
-    along tau, the (l1, l2) pairs with |l1-l2| <= l <= min(l1+l2, maxl)."""
+    aggregate=False): fused single-contraction path. Output entry l
+    concatenates, along tau, the (l1, l2) pairs with
+    |l1-l2| <= l <= min(l1+l2, maxl)."""
     rep1, rep2, _tau = _broadcast_taus(rep1, rep2)
     table_np, slices = _fused_cg_table(len(rep1), len(rep2), maxl)
     a = _pack_m(rep1)
     b = _pack_m(rep2)
-    out = _complex_contract(a, b, jnp.asarray(table_np), '...tm,...tn,mnk->...tk')
+    if _CG_BACKEND.startswith('pallas'):
+        from molgym_tpu.ops.pallas_cg import cg_contract_pallas
+        out = cg_contract_pallas(a, b, jnp.asarray(table_np),
+                                 interpret=_CG_BACKEND == 'pallas_interpret')
+    else:
+        out = _complex_contract(a, b, jnp.asarray(table_np),
+                                '...tm,...tn,mnk->...tk')
     return _unpack_out(out, slices, maxl)
 
 

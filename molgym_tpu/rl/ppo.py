@@ -180,6 +180,7 @@ def batch_ppo(
     save_eval_rollout: bool = True,
     info_saver=None,
     seed: int = 0,
+    profile_dir: Optional[str] = None,
 ) -> Any:
     """Top-level PPO loop (reference batch_ppo, ppo.py:230-379): alternate
     jitted rollout and jitted multi-epoch update, with JSONL metrics, periodic
@@ -215,6 +216,11 @@ def batch_ppo(
     for iteration in range(num_iterations):
         logging.info(f'Iteration: {iteration}/{num_iterations - 1}, '
                      f'steps: {total_num_steps}')
+
+        # Profile the second iteration (post-compile) when requested
+        # (SURVEY.md §5: the reference has no tracing at all).
+        if profile_dir and iteration == 1:
+            jax.profiler.start_trace(profile_dir)
 
         # -- training rollout
         t0 = time.time()
@@ -257,6 +263,10 @@ def batch_ppo(
         if info_saver:
             opt_info['total_num_steps'] = total_num_steps
             info_saver.save(opt_info, name='opt')
+
+        if profile_dir and iteration == 1:
+            jax.profiler.stop_trace()
+            logging.info(f'Wrote profiler trace to {profile_dir}')
 
         total_num_steps += num_steps_per_iter
 

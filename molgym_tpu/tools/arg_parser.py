@@ -149,5 +149,10 @@ def build_default_argparser() -> argparse.ArgumentParser:
     parser.add_argument('--save_rollouts', help='which rollouts to save',
                         type=str, default='none',
                         choices=['none', 'train', 'eval', 'all'])
+    parser.add_argument('--tensorboard', help='also write TensorBoard scalars',
+                        action='store_true', default=False)
+    parser.add_argument('--profile', help='capture a jax.profiler trace of one '
+                        'training iteration into <log_dir>/profile',
+                        action='store_true', default=False)
 
     return parser

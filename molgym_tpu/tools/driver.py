@@ -141,7 +141,10 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     rollout_saver = None
     if save_mode != 'none':
         rollout_saver = util.RolloutSaver(directory=config['data_dir'], tag=tag)
-    info_saver = util.InfoSaver(directory=config['results_dir'], tag=tag)
+    info_saver = util.InfoSaver(
+        directory=config['results_dir'], tag=tag,
+        tensorboard_dir=(os.path.join(config['log_dir'], 'tb')
+                         if config.get('tensorboard') else None))
 
     result = batch_ppo(
         train_env, eval_env, agent, params,
@@ -161,6 +164,8 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         save_eval_rollout=save_mode in ('eval', 'all'),
         info_saver=info_saver,
         seed=config['seed'],
+        profile_dir=(os.path.join(config['log_dir'], 'profile')
+                     if config.get('profile') else None),
     )
     if host_calc is not None and hasattr(host_calc, 'pool_stats'):
         logging.info(f'Host reward pool stats: {host_calc.pool_stats()}')

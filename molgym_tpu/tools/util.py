@@ -79,12 +79,22 @@ class RolloutSaver:
 
 
 class InfoSaver:
-    """Appends JSON lines to `{tag}_{name}.txt` (tools/util.py:172-183)."""
+    """Appends JSON lines to `{tag}_{name}.txt` (tools/util.py:172-183);
+    optionally mirrors scalars to TensorBoard (the reference pins tensorboardX
+    but never uses it — here it is a real, optional sink)."""
 
-    def __init__(self, directory: str, tag: str) -> None:
+    def __init__(self, directory: str, tag: str,
+                 tensorboard_dir: Optional[str] = None) -> None:
         self.directory = directory
         self.tag = tag
         self._suffix = '.txt'
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(tensorboard_dir, tag))
+            except ImportError:
+                logging.warning('tensorboardX not available; JSONL only')
 
     def save(self, obj: dict, name: str) -> None:
         path = os.path.join(self.directory, self.tag + '_' + name + self._suffix)
@@ -97,6 +107,13 @@ class InfoSaver:
         with open(path, mode='a') as f:
             f.write(json.dumps(clean))
             f.write('\n')
+        if self._tb is not None:
+            step = clean.get('total_num_steps', 0)
+            for key, value in clean.items():
+                if key != 'total_num_steps' and isinstance(value, (int, float)) \
+                        and np.isfinite(value):
+                    self._tb.add_scalar(f'{name}/{key}', value, step)
+            self._tb.flush()
 
 
 def count_params(params) -> int:

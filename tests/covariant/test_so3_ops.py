@@ -141,6 +141,36 @@ class TestCG:
         for p, q in zip(fused, loops):
             np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-5)
 
+    def test_pallas_kernel_matches_einsum(self):
+        """The Pallas fused CG kernel (interpret mode on CPU) must match the
+        einsum path bit-for-bit-ish."""
+        from molgym_tpu.ops.cg import _complex_contract, _fused_cg_table
+        from molgym_tpu.ops.pallas_cg import cg_contract_pallas
+        rng = np.random.RandomState(11)
+        maxl = 4
+        m = sum(2 * l + 1 for l in range(maxl + 1))
+        table_np, _slices = _fused_cg_table(maxl + 1, maxl + 1, maxl)
+        a = jnp.asarray(rng.randn(5, 3, m, 2).astype(np.float32))
+        b = jnp.asarray(rng.randn(5, 3, m, 2).astype(np.float32))
+        ref = _complex_contract(a, b, jnp.asarray(table_np),
+                                '...tm,...tn,mnk->...tk')
+        out = cg_contract_pallas(a, b, jnp.asarray(table_np), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_cg_backend_switch(self):
+        from molgym_tpu.ops.cg import set_cg_backend
+        rng = np.random.RandomState(12)
+        a = random_so3vec(rng, 2, tau=2, batch=(3, ))
+        b = random_so3vec(rng, 2, tau=2, batch=(3, ))
+        ref = cg_product(a, b, 2)
+        set_cg_backend('pallas_interpret')
+        try:
+            out = cg_product(a, b, 2)
+        finally:
+            set_cg_backend('einsum')
+        for p, q in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=2e-5)
+
     def test_aggregate_matches_manual_sum(self):
         rng = np.random.RandomState(1)
         maxl = 2
