@@ -1,14 +1,18 @@
 """Pallas TPU kernel for the fused Clebsch-Gordan contraction.
 
-The packed CG product (ops/cg.py) is, per row r (= batch x atom x tau) :
+The packed CG product (ops/cg.py) is, per row r (= batch x atom x tau):
 
     out[r, k] = sum_{m,n} C[m*M2+n, k] * (a[r, m] *complex* b[r, n])
 
-i.e. a complex outer product followed by a dense matmul against the static
-combined CG table. This kernel fuses the outer-product construction with the
-MXU matmul so the [R, M1*M2] intermediate never exists in HBM: per R-tile it
-builds the real/imag outer products in VMEM and issues two dot products
-against the table (real and imaginary output parts).
+i.e. a complex outer product contracted against the static combined CG table.
+The kernel accumulates M1 MXU matmuls per row-tile so the [R, M1*M2]
+intermediate never exists in HBM.
+
+TPU layout notes (hard-won):
+  * real/imag travel as SEPARATE 2D operands — a trailing complex axis of
+    size 2 would be lane-padded 2->128 by Mosaic (64x VMEM blowup);
+  * Mosaic cannot reshape [R, M1, M2] -> [R, M1*M2] vectors, so the m axis is
+    a static unrolled accumulation of [TILE_R, M2] x [M2, K] matmuls.
 
 Falls back to the XLA einsum path off-TPU; `interpret=True` is used by the
 CPU test suite for bit-accuracy checks against the einsum implementation.
@@ -25,26 +29,29 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_R = 256
 
 
-def _cg_kernel(a_ref, b_ref, c_ref, out_ref):
-    # a_ref: [TILE_R, M1, 2]; b_ref: [TILE_R, M2, 2]; c_ref: [M1*M2, K]
-    # out_ref: [TILE_R, K, 2]
-    ar, ai = a_ref[:, :, 0], a_ref[:, :, 1]
-    br, bi = b_ref[:, :, 0], b_ref[:, :, 1]
+def _cg_kernel(ar_ref, ai_ref, br_ref, bi_ref, c_ref, or_ref, oi_ref):
+    # a*_ref: [TILE_R, M1]; b*_ref: [TILE_R, M2]; c_ref: [M1*M2, K]
+    # o*_ref: [TILE_R, K]
+    ar, ai = ar_ref[:], ai_ref[:]
+    br, bi = br_ref[:], bi_ref[:]
 
-    tile_r, m1 = ar.shape
+    m1 = ar.shape[-1]
     m2 = br.shape[-1]
+    k = c_ref.shape[-1]
+    tile_r = ar.shape[0]
 
-    # complex outer products in VMEM: [TILE_R, M1*M2]
-    xr = (ar[:, :, None] * br[:, None, :] -
-          ai[:, :, None] * bi[:, None, :]).reshape(tile_r, m1 * m2)
-    xi = (ar[:, :, None] * bi[:, None, :] +
-          ai[:, :, None] * br[:, None, :]).reshape(tile_r, m1 * m2)
-
-    c = c_ref[:]
-    yr = jnp.dot(xr, c, preferred_element_type=jnp.float32)
-    yi = jnp.dot(xi, c, preferred_element_type=jnp.float32)
-    out_ref[:, :, 0] = yr
-    out_ref[:, :, 1] = yi
+    acc_r = jnp.zeros((tile_r, k), jnp.float32)
+    acc_i = jnp.zeros((tile_r, k), jnp.float32)
+    for m in range(m1):
+        arm = ar[:, m:m + 1]  # [TILE_R, 1]
+        aim = ai[:, m:m + 1]
+        xr = arm * br - aim * bi  # [TILE_R, M2]
+        xi = arm * bi + aim * br
+        cm = c_ref[m * m2:(m + 1) * m2, :]  # [M2, K] static row slice
+        acc_r = acc_r + jnp.dot(xr, cm, preferred_element_type=jnp.float32)
+        acc_i = acc_i + jnp.dot(xi, cm, preferred_element_type=jnp.float32)
+    or_ref[:] = acc_r
+    oi_ref[:] = acc_i
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', ))
@@ -57,31 +64,32 @@ def cg_contract_pallas(a_pack: jnp.ndarray, b_pack: jnp.ndarray,
     m2 = b_pack.shape[-2]
     k = table.shape[-1]
 
-    a2 = a_pack.reshape(-1, m1, 2)
-    b2 = b_pack.reshape(-1, m2, 2)
-    rows = a2.shape[0]
+    ar = a_pack[..., 0].reshape(-1, m1).astype(jnp.float32)
+    ai = a_pack[..., 1].reshape(-1, m1).astype(jnp.float32)
+    br = b_pack[..., 0].reshape(-1, m2).astype(jnp.float32)
+    bi = b_pack[..., 1].reshape(-1, m2).astype(jnp.float32)
+    rows = ar.shape[0]
     pad = (-rows) % _TILE_R
     if pad:
-        a2 = jnp.pad(a2, ((0, pad), (0, 0), (0, 0)))
-        b2 = jnp.pad(b2, ((0, pad), (0, 0), (0, 0)))
+        ar, ai, br, bi = (jnp.pad(x, ((0, pad), (0, 0)))
+                          for x in (ar, ai, br, bi))
     padded_rows = rows + pad
-    c2 = table.reshape(m1 * m2, k)
 
-    out = pl.pallas_call(
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    row_spec1 = pl.BlockSpec((_TILE_R, m1), lambda i: (i, 0), memory_space=mem)
+    row_spec2 = pl.BlockSpec((_TILE_R, m2), lambda i: (i, 0), memory_space=mem)
+    out_spec = pl.BlockSpec((_TILE_R, k), lambda i: (i, 0), memory_space=mem)
+
+    out_r, out_i = pl.pallas_call(
         _cg_kernel,
-        out_shape=jax.ShapeDtypeStruct((padded_rows, k, 2), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((padded_rows, k), jnp.float32),
+                   jax.ShapeDtypeStruct((padded_rows, k), jnp.float32)),
         grid=(padded_rows // _TILE_R, ),
-        in_specs=[
-            pl.BlockSpec((_TILE_R, m1, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((_TILE_R, m2, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((m1 * m2, k), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TILE_R, k, 2), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        in_specs=[row_spec1, row_spec1, row_spec2, row_spec2,
+                  pl.BlockSpec((m1 * m2, k), lambda i: (0, 0), memory_space=mem)],
+        out_specs=(out_spec, out_spec),
         interpret=interpret,
-    )(a2.astype(jnp.float32), b2.astype(jnp.float32), c2.astype(jnp.float32))
+    )(ar, ai, br, bi, table.reshape(m1 * m2, k).astype(jnp.float32))
 
-    return out[:rows].reshape(lead + (k, 2))
+    out = jnp.stack([out_r[:rows], out_i[:rows]], axis=-1)
+    return out.reshape(lead + (k, 2))

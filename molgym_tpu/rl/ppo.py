@@ -181,6 +181,7 @@ def batch_ppo(
     info_saver=None,
     seed: int = 0,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ) -> Any:
     """Top-level PPO loop (reference batch_ppo, ppo.py:230-379): alternate
     jitted rollout and jitted multi-epoch update, with JSONL metrics, periodic
@@ -208,6 +209,17 @@ def batch_ppo(
     states = envs.init_states(env_key, num_envs)
     eval_states = (eval_envs.init_states(eval_key, num_eval_envs)
                    if eval_envs is not None else None)
+
+    if mesh is not None:
+        # Data-parallel placement: env batch sharded along 'dp', params and
+        # optimizer state replicated. The jitted rollout/update programs
+        # follow their input shardings, so XLA compiles the gradient
+        # all-reduce in (parallel/mesh.py documents the layout).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert num_envs % mesh.shape['dp'] == 0
+        states = jax.device_put(states, NamedSharding(mesh, P('dp')))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
 
     total_num_steps = start_num_steps
     num_iterations = (max_num_steps - total_num_steps) // num_steps_per_iter

@@ -25,9 +25,18 @@ from molgym_tpu.tools.model_io import ModelIO
 from molgym_tpu.tools.model_util import build_model
 
 
-def select_platform(device: str) -> None:
+def select_platform(device: str, num_devices: int = 0) -> None:
     if device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+        if num_devices > 1:
+            # Virtual host devices for CPU data-parallel runs; must happen
+            # before the backend initializes.
+            flags = os.environ.get('XLA_FLAGS', '')
+            if '--xla_force_host_platform_device_count' not in flags:
+                os.environ['XLA_FLAGS'] = (
+                    flags +
+                    f' --xla_force_host_platform_device_count={num_devices}'
+                ).strip()
     # 'tpu'/'auto': leave the default platform (TPU when available)
 
 
@@ -96,7 +105,8 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     util.setup_logger(config, directory=config['log_dir'], tag=tag)
     util.save_config(config, directory=config['log_dir'], tag=tag)
     util.set_seeds(config['seed'])
-    select_platform(config.get('device', 'auto'))
+    select_platform(config.get('device', 'auto'),
+                    num_devices=config.get('num_devices', 0) or 0)
     logging.info(f'JAX devices: {jax.devices()}')
 
     zs = symbols_to_zs(config['symbols'])
@@ -146,8 +156,15 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         tensorboard_dir=(os.path.join(config['log_dir'], 'tb')
                          if config.get('tensorboard') else None))
 
+    mesh = None
+    if config.get('num_devices', 0) and config['num_devices'] > 1:
+        from molgym_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(config['num_devices'])
+        logging.info(f'Data-parallel mesh: {mesh.shape}')
+
     result = batch_ppo(
         train_env, eval_env, agent, params,
+        mesh=mesh,
         opt_state=opt_state,
         num_envs=config['num_envs'],
         num_eval_envs=1,
