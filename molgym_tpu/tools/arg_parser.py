@@ -154,5 +154,9 @@ def build_default_argparser() -> argparse.ArgumentParser:
     parser.add_argument('--profile', help='capture a jax.profiler trace of one '
                         'training iteration into <log_dir>/profile',
                         action='store_true', default=False)
+    parser.add_argument('--multihost',
+                        help='initialize jax.distributed for multi-host meshes '
+                             '(same program per host; artifacts rank-tagged)',
+                        action='store_true', default=False)
 
     return parser

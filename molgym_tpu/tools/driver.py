@@ -107,6 +107,16 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     util.set_seeds(config['seed'])
     select_platform(config.get('device', 'auto'),
                     num_devices=config.get('num_devices', 0) or 0)
+
+    rank = None
+    if config.get('multihost'):
+        # Multi-host SPMD: one process per host, mesh spans all hosts'
+        # devices (ICI within a slice, DCN across slices). Coordinator
+        # address etc. come from the cluster environment.
+        jax.distributed.initialize()
+        rank = jax.process_index()
+        logging.info(f'jax.distributed initialized: process {rank} of '
+                     f'{jax.process_count()}')
     logging.info(f'JAX devices: {jax.devices()}')
 
     zs = symbols_to_zs(config['symbols'])
@@ -150,7 +160,8 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     save_mode = config.get('save_rollouts', 'none')
     rollout_saver = None
     if save_mode != 'none':
-        rollout_saver = util.RolloutSaver(directory=config['data_dir'], tag=tag)
+        rollout_saver = util.RolloutSaver(directory=config['data_dir'], tag=tag,
+                                          rank=rank)
     info_saver = util.InfoSaver(
         directory=config['results_dir'], tag=tag,
         tensorboard_dir=(os.path.join(config['log_dir'], 'tb')
