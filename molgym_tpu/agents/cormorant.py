@@ -100,10 +100,15 @@ class RadialFilters(nn.Module):
 class CGLevel(nn.Module):
     """One covariant message-passing level: edge (radial x Y_lm) reps CG-
     aggregated over neighbors, CG-squared, then concat-mixed with the identity
-    path (cormorant CormorantCG level)."""
+    path (cormorant CormorantCG level).
+
+    gain defaults to 1.0: cormorant's level_gain=10 with this init blows up
+    activation scale ~10^3 over 3 levels, which collapses head entropies and
+    makes the value loss dominate the clipped gradient (observed empirically:
+    v std ~90 at init, PPO never improves)."""
     maxl: int
     tau_out: int
-    gain: float = 10.0
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, atom_rep: SO3Vec, sph: SO3Vec, rad: List[jnp.ndarray],
@@ -146,7 +151,7 @@ class CormorantEncoder(nn.Module):
     hard_cut: float = 2.1
     soft_cut: float = 2.1
     soft_width: float = 0.2
-    level_gain: float = 10.0
+    level_gain: float = 1.0
 
     @nn.compact
     def __call__(self, elements: jnp.ndarray, positions: jnp.ndarray,
@@ -200,7 +205,7 @@ class CormorantMixer(nn.Module):
     covariant/modules.py:138-190)."""
     maxl: int
     tau_out: int
-    gain: float = 10.0
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, atom_rep: SO3Vec, other_rep: SO3Vec) -> SO3Vec:

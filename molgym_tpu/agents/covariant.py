@@ -79,6 +79,8 @@ class CovariantAC(nn.Module):
         self.phi_d = MLP(output_dims=(width, 2 * self.num_gaussians))
         self.phi_trans = MLP(output_dims=(width, width))
         self.phi_v = MLP(output_dims=(width, 1))
+        self.inv_norm = nn.LayerNorm()
+        self.element_inv_norm = nn.LayerNorm()
         self.distance_log_stds = self.param(
             'distance_log_stds',
             lambda _rng: jnp.log(0.1 * jnp.ones(self.num_gaussians, jnp.float32)))
@@ -102,10 +104,13 @@ class CovariantAC(nn.Module):
         atom_mask = idx < n_atoms[:, None]
         focus_mask = jnp.logical_or(atom_mask, idx == 0)
 
-        # Covariants and invariants
+        # Covariants and invariants. LayerNorm keeps head inputs O(1)
+        # independent of the CG stack's activation scale (rotation-invariant
+        # features, so invariance is preserved) — TPU redesign delta for
+        # trainability; the reference relies on cormorant's init specifics.
         covariats = self.encoder(obs.elements, obs.positions, obs.bag,
                                  self.zs_array)  # per l [B, N, tau, m, 2]
-        invariats = atomic_scalars(covariats)  # [B, N, D]
+        invariats = self.inv_norm(atomic_scalars(covariats))  # [B, N, D]
 
         # Focus
         focus_logits = self.phi_focus(invariats)[..., 0]
@@ -136,7 +141,7 @@ class CovariantAC(nn.Module):
         offsets = jnp.arange(self.num_channels_per_element)[None, :]
         indices = offsets + element[:, None] * self.num_channels_per_element
         element_cov = select_taus(focused_cov, indices)
-        element_inv = atomic_scalars(element_cov)
+        element_inv = self.element_inv_norm(atomic_scalars(element_cov))
 
         # Distance: GMM
         gmm_out = self.phi_d(element_inv)
