@@ -38,6 +38,9 @@ def create_directories(directories: List[str]) -> None:
 def setup_logger(config: dict, directory: str, tag: str) -> None:
     logger = logging.getLogger()
     logger.setLevel(config.get('log_level', 'INFO'))
+    # drop pre-existing stream handlers (absl/basicConfig) to avoid duplicates
+    for handler in list(logger.handlers):
+        logger.removeHandler(handler)
     formatter = logging.Formatter(
         '%(asctime)s.%(msecs)03d %(levelname)s: %(message)s',
         datefmt='%Y-%m-%d %H:%M:%S')
