@@ -41,7 +41,7 @@ def compute_ppo_data(traj: Trajectory, gamma: float, lam: float) -> Dict[str, jn
     adv, ret = gae_advantages(traj.rewards, traj.values, traj.terminals,
                               traj.bootstrap_value, gamma, lam)
     adv_flat = adv.reshape(-1)
-    adv_std = (adv_flat - jnp.mean(adv_flat)) / jnp.std(adv_flat)
+    adv_std = (adv_flat - jnp.mean(adv_flat)) / jnp.maximum(jnp.std(adv_flat), 1e-8)
 
     flat_obs = jax.tree.map(lambda x: x.reshape((-1, ) + x.shape[2:]), traj.obs)
     return dict(

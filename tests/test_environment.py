@@ -116,6 +116,19 @@ class TestStep:
         assert int(np.asarray(vec.states.n_atoms)[0]) == 2
 
 
+class TestVecEnvAPI:
+    def test_step_async_wait(self):
+        """Baselines-style async API surface (reference env_container.py:31-54)."""
+        env, _ = make_env('H2O')
+        vec = VecEnv(env, num_envs=2)
+        vec.reset()
+        vec.step_async((np.array([2, 2]), np.zeros((2, 3), np.float32)))
+        obs, rewards, dones, info = vec.step_wait()
+        assert rewards.shape == (2, )
+        assert 'elapsed_time' in info
+        assert vec.get_size() == 2
+
+
 class TestFormulaCycle:
     def test_multibag_cycles_on_reset(self):
         space = ObservationSpace(canvas_size=4, zs=[0, 1, 8])
