@@ -16,8 +16,6 @@ host at agents/internal/agent.py:91-110 — here it never leaves the device).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import struct
 

@@ -21,7 +21,7 @@ Design notes (TPU-first, not a translation):
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

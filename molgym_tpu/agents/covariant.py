@@ -35,8 +35,7 @@ from molgym_tpu.distributions.discrete import (categorical_argmax,
                                                masked_categorical_probs)
 from molgym_tpu.distributions.gmm import gmm_argmax, gmm_log_prob, gmm_sample
 from molgym_tpu.ops.masked import to_one_hot
-from molgym_tpu.ops.so3 import (atomic_scalars, atomic_scalars_dim,
-                                select_atomic_covariats,
+from molgym_tpu.ops.so3 import (atomic_scalars, select_atomic_covariats,
                                 select_atomic_invariats, select_taus)
 from molgym_tpu.spaces import Observation
 

@@ -8,7 +8,7 @@ molgym/spaces.py:47-74, scripts/structures.py:56-71).
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 

@@ -8,7 +8,7 @@ evaluator fans the batch out over its thread pool (SURVEY.md §2.3 plan).
 from __future__ import annotations
 
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ agents/internal/agent.py:203-219, agents/covariant/agent.py:222-253).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from molgym_tpu.atoms import Atoms
 from molgym_tpu.envs.reward import RewardFn
 from molgym_tpu.periodic import SOLO_CANDIDATE_ZS, Z_TO_BOND_COUNT
 from molgym_tpu.spaces import Observation, ObservationSpace

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +27,7 @@ import numpy as np
 import optax
 
 from molgym_tpu.envs.environment import MolecularEnv
-from molgym_tpu.rl.buffer import (Trajectory, buffer_stats, compute_ppo_data,
-                                  episode_stats)
+from molgym_tpu.rl.buffer import buffer_stats, compute_ppo_data, episode_stats
 from molgym_tpu.rl.rollout import make_rollout_fn
 
 

@@ -8,11 +8,9 @@ value at the cutoff is the value head on the post-rollout observation
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from molgym_tpu.envs.environment import EnvState, MolecularEnv
 from molgym_tpu.rl.buffer import Trajectory

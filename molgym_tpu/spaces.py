@@ -27,7 +27,7 @@ from flax import struct
 
 from molgym_tpu.atoms import Atom, Atoms
 from molgym_tpu.formula import FormulaType
-from molgym_tpu.periodic import ATOMIC_NUMBERS, CHEMICAL_SYMBOLS, NULL_SYMBOL
+from molgym_tpu.periodic import ATOMIC_NUMBERS, CHEMICAL_SYMBOLS
 
 
 @struct.dataclass

@@ -7,8 +7,8 @@ import numpy as np
 import pytest
 
 from molgym_tpu.atoms import Atom, Atoms
-from molgym_tpu.calculators.native import (METHOD_LJ, METHOD_MORSE, NativeCalc,
-                                           NativeBatchCalculator)
+from molgym_tpu.calculators.native import (METHOD_LJ, NativeBatchCalculator,
+                                           NativeCalc)
 from molgym_tpu.calculators.reward_host import (InteractionReward,
                                                 SolvationReward,
                                                 make_host_reward)
