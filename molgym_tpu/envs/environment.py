@@ -239,14 +239,15 @@ class MolecularEnv:
             valid = jnp.logical_and(valid, inside)
         return valid
 
-    def step(self, states: EnvState, element_index: jnp.ndarray,
-             position: jnp.ndarray) -> StepResult:
-        """Batched step. element_index: int32[B]; position: float32[B, 3]."""
+    def reward_inputs(self, states: EnvState, element_index: jnp.ndarray,
+                      position: jnp.ndarray):
+        """Device phase A: validity + the batched reward-function inputs.
+        Lets a host loop evaluate rewards between two jitted phases on
+        backends without host-callback support (see rl/rollout.py)."""
         stop = self.zs_array[element_index] == 0  # [B]
         valid = jax.vmap(self._is_valid)(states, position, element_index)
         needs_reward = jnp.logical_and(jnp.logical_not(stop), valid)
 
-        # Batched reward — the single host/device boundary of the step.
         zs_atomic = self.zs_array[states.elements] * (
             jnp.arange(self.canvas_size)[None, :] < states.n_atoms[:, None])
         if self.n_scaffold > 0:
@@ -254,8 +255,22 @@ class MolecularEnv:
             non_scaffold = jnp.arange(self.canvas_size)[None, :] >= self.n_scaffold
             zs_atomic = zs_atomic * non_scaffold
         new_z = self.zs_array[element_index]
-        raw_reward = self.reward_fn(states.positions, zs_atomic, position,
-                                    new_z, needs_reward)
+        return stop, valid, needs_reward, zs_atomic, new_z
+
+    def step(self, states: EnvState, element_index: jnp.ndarray,
+             position: jnp.ndarray,
+             rewards: Optional[jnp.ndarray] = None) -> StepResult:
+        """Batched step. element_index: int32[B]; position: float32[B, 3].
+        If `rewards` is given (host-loop mode) the reward function is not
+        called; otherwise it runs inline (device reward or io_callback)."""
+        stop, valid, needs_reward, zs_atomic, new_z = self.reward_inputs(
+            states, element_index, position)
+        if rewards is None:
+            # Batched reward — the single host/device boundary of the step.
+            raw_reward = self.reward_fn(states.positions, zs_atomic, position,
+                                        new_z, needs_reward)
+        else:
+            raw_reward = rewards
 
         def update_one(state, elem_idx, pos, stop_i, valid_i, raw_r):
             low = raw_r < self.min_reward

@@ -28,7 +28,7 @@ import optax
 
 from molgym_tpu.envs.environment import MolecularEnv
 from molgym_tpu.rl.buffer import buffer_stats, compute_ppo_data, episode_stats
-from molgym_tpu.rl.rollout import make_rollout_fn
+from molgym_tpu.rl.rollout import make_host_loop_rollout_fn, make_rollout_fn
 
 
 class PPOConfig(NamedTuple):
@@ -181,6 +181,8 @@ def batch_ppo(
     seed: int = 0,
     profile_dir: Optional[str] = None,
     mesh=None,
+    host_loop_calculator=None,
+    host_distance_penalty: float = 0.0,
 ) -> Any:
     """Top-level PPO loop (reference batch_ppo, ppo.py:230-379): alternate
     jitted rollout and jitted multi-epoch update, with JSONL metrics, periodic
@@ -193,15 +195,28 @@ def batch_ppo(
     if opt_state is None:
         opt_state = optimizer.init(params)
 
-    rollout_fn = make_rollout_fn(envs, agent, steps_per_env, deterministic=False)
+    if host_loop_calculator is not None:
+        # Host-orchestrated stepping: required on backends without
+        # io_callback support (rl/rollout.py make_host_loop_rollout_fn).
+        rollout_fn = make_host_loop_rollout_fn(
+            envs, agent, host_loop_calculator, steps_per_env,
+            deterministic=False, distance_penalty=host_distance_penalty)
+    else:
+        rollout_fn = make_rollout_fn(envs, agent, steps_per_env,
+                                     deterministic=False)
     data_fn = jax.jit(lambda traj: compute_ppo_data(traj, config.gamma, config.lam))
     train_fn = make_train_fn(agent, optimizer, config, num_steps_per_iter)
 
     eval_rollout_fn = None
     if eval_envs is not None:
         eval_steps = num_eval_episodes * (eval_envs.canvas_size + 1)
-        eval_rollout_fn = make_rollout_fn(eval_envs, agent, eval_steps,
-                                          deterministic=True)
+        if host_loop_calculator is not None:
+            eval_rollout_fn = make_host_loop_rollout_fn(
+                eval_envs, agent, host_loop_calculator, eval_steps,
+                deterministic=True, distance_penalty=host_distance_penalty)
+        else:
+            eval_rollout_fn = make_rollout_fn(eval_envs, agent, eval_steps,
+                                              deterministic=True)
 
     rng = jax.random.PRNGKey(seed)
     rng, env_key, eval_key = jax.random.split(rng, 3)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from molgym_tpu.envs.environment import EnvState, MolecularEnv
 from molgym_tpu.rl.buffer import Trajectory
@@ -53,3 +54,79 @@ def make_rollout_fn(env: MolecularEnv, agent, num_steps_per_env: int,
         return states, traj
 
     return jax.jit(rollout) if jit else rollout
+
+
+def make_host_loop_rollout_fn(env: MolecularEnv, agent,
+                              batch_calculator,
+                              num_steps_per_env: int,
+                              deterministic: bool = False,
+                              distance_penalty: float = 0.0) -> Callable:
+    """Host-orchestrated rollout for backends without host-callback support
+    (e.g. PJRT plugins that reject io_callback): the per-step loop runs in
+    Python, with three jitted device phases per step — policy forward,
+    validity/reward-input extraction, and the state update — and the batched
+    host reward evaluated between them. Same (params, states, rng) ->
+    (states, Trajectory) contract as make_rollout_fn.
+
+    With QM rewards costing 10-100 ms per molecule, the extra per-step
+    dispatch overhead (~1 ms) is negligible; device-reward configs should use
+    the scan rollout instead.
+    """
+    import numpy as np
+
+    from molgym_tpu.spaces import Observation
+
+    act = jax.jit(lambda p, o, k: agent.apply(p, o, k, deterministic,
+                                              method=agent.act))
+    reward_inputs = jax.jit(env.reward_inputs)
+    step_with_rewards = jax.jit(env.step)
+    reset_if_terminal = jax.jit(env.reset_if_terminal)
+    reset_all = jax.jit(lambda s: jax.vmap(env.reset)(s))
+
+    def rollout(params, states, rng):
+        states, obs = reset_all(states)
+        obs_seq, next_obs_seq, act_seq = [], [], []
+        rew_seq, term_seq, val_seq, logp_seq = [], [], [], []
+        for _t in range(num_steps_per_env):
+            rng, key = jax.random.split(rng)
+            out = act(params, obs, key)
+            _stop, _valid, needs, zs_atomic, new_z = reward_inputs(
+                states, out.element, out.position)
+            rewards = batch_calculator.batch_reward(
+                np.asarray(zs_atomic), np.asarray(states.positions, np.float64),
+                np.asarray(states.n_atoms), np.asarray(new_z),
+                np.asarray(out.position, np.float64), np.asarray(needs))
+            if distance_penalty:
+                dist = np.linalg.norm(np.asarray(out.position, np.float64), axis=-1)
+                rewards = rewards - distance_penalty * dist * np.asarray(needs)
+            result = step_with_rewards(states, out.element, out.position,
+                                       jnp.asarray(rewards, jnp.float32))
+            obs_seq.append(obs)
+            next_obs_seq.append(result.observation)
+            act_seq.append(out.action_flat)
+            rew_seq.append(result.reward)
+            term_seq.append(result.done)
+            val_seq.append(out.v)
+            logp_seq.append(out.logp)
+            states, obs = reset_if_terminal(result.state, result.done)
+
+        rng, key = jax.random.split(rng)
+        final_out = act(params, obs, key)
+
+        stack = lambda xs: jnp.stack(xs, axis=0)
+        obs_stacked = Observation(
+            elements=stack([o.elements for o in obs_seq]),
+            positions=stack([o.positions for o in obs_seq]),
+            bag=stack([o.bag for o in obs_seq]))
+        next_obs_stacked = Observation(
+            elements=stack([o.elements for o in next_obs_seq]),
+            positions=stack([o.positions for o in next_obs_seq]),
+            bag=stack([o.bag for o in next_obs_seq]))
+        traj = Trajectory(obs=obs_stacked, next_obs=next_obs_stacked,
+                          actions=stack(act_seq), rewards=stack(rew_seq),
+                          terminals=stack(term_seq), values=stack(val_seq),
+                          logps=stack(logp_seq),
+                          bootstrap_value=final_out.v)
+        return states, traj
+
+    return rollout

@@ -70,6 +70,12 @@ def build_default_argparser() -> argparse.ArgumentParser:
                         type=str, default='sparrow',
                         choices=['sparrow', 'lj', 'morse', 'device_lj',
                                  'device_morse'])
+    parser.add_argument('--host_reward_mode',
+                        help='host reward transport: io_callback inside the '
+                             'rollout scan, a host-orchestrated step loop, or '
+                             'auto-detect backend support',
+                        type=str, default='auto',
+                        choices=['auto', 'callback', 'loop'])
     parser.add_argument('--num_reward_threads',
                         help='host reward evaluator threads', type=int,
                         default=8)

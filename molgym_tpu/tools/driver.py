@@ -40,6 +40,25 @@ def select_platform(device: str, num_devices: int = 0) -> None:
     # 'tpu'/'auto': leave the default platform (TPU when available)
 
 
+def supports_host_callbacks() -> bool:
+    """Probe whether the active backend supports jax host callbacks — some
+    PJRT plugins reject io_callback (UNIMPLEMENTED), in which case the
+    host-loop rollout is used instead."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def cb(x):
+        return np.asarray(x)
+
+    try:
+        result = jax.jit(lambda x: jax.experimental.io_callback(
+            cb, jax.ShapeDtypeStruct((), jnp.float32), x))(jnp.float32(1.0))
+        jax.block_until_ready(result)
+        return True
+    except Exception:
+        return False
+
+
 def make_reward_fn(config: dict, solvation: bool = False
                    ) -> Tuple[RewardFn, Optional[object]]:
     """Returns (batched RewardFn for the env, host batch calculator or None)."""
@@ -124,6 +143,15 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     action_space = ActionSpace(zs=zs)
 
     reward_fn, host_calc = make_reward_fn(config, solvation=solvation)
+
+    host_loop_calc = None
+    mode = config.get('host_reward_mode', 'auto')
+    if host_calc is not None:
+        if mode == 'loop' or (mode == 'auto' and not supports_host_callbacks()):
+            logging.info('Host rewards via host-loop rollout '
+                         '(backend lacks io_callback support or forced)')
+            host_loop_calc = host_calc
+
     train_env, eval_env = env_builder(config, observation_space, reward_fn)
 
     agent = build_model(config, observation_space, action_space)
@@ -194,6 +222,9 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         seed=config['seed'],
         profile_dir=(os.path.join(config['log_dir'], 'profile')
                      if config.get('profile') else None),
+        host_loop_calculator=host_loop_calc,
+        host_distance_penalty=(config.get('distance_penalty', 0.01)
+                               if solvation else 0.0),
     )
     if host_calc is not None and hasattr(host_calc, 'pool_stats'):
         logging.info(f'Host reward pool stats: {host_calc.pool_stats()}')
