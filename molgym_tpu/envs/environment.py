@@ -231,8 +231,11 @@ class MolecularEnv:
 
         valid = jnp.logical_and(jnp.logical_not(too_close), covered)
 
-        # Bag must contain the chosen element (design delta: invalid, not raise).
+        # Bag must contain the chosen element, and the canvas must have a free
+        # slot (design delta: invalid action instead of raising; the reference
+        # raises 'Too many atoms' when stepped past capacity).
         valid = jnp.logical_and(valid, state.bag[element_index] > 0)
+        valid = jnp.logical_and(valid, state.n_atoms < self.canvas_size)
 
         if self.hull_a is not None:
             inside = jnp.all(self.hull_a @ new_pos + self.hull_b <= 1e-6)
@@ -257,12 +260,22 @@ class MolecularEnv:
         new_z = self.zs_array[element_index]
         return stop, valid, needs_reward, zs_atomic, new_z
 
+    def finalize_step(self, states: EnvState, element_index: jnp.ndarray,
+                      position: jnp.ndarray, stop: jnp.ndarray,
+                      valid: jnp.ndarray,
+                      raw_reward: jnp.ndarray) -> StepResult:
+        """Device phase B: state update given precomputed validity + rewards
+        (host-loop mode calls reward_inputs / finalize_step separately so the
+        validity work runs once)."""
+        return self._finalize(states, element_index, position, stop, valid,
+                              raw_reward)
+
     def step(self, states: EnvState, element_index: jnp.ndarray,
              position: jnp.ndarray,
              rewards: Optional[jnp.ndarray] = None) -> StepResult:
         """Batched step. element_index: int32[B]; position: float32[B, 3].
-        If `rewards` is given (host-loop mode) the reward function is not
-        called; otherwise it runs inline (device reward or io_callback)."""
+        If `rewards` is given the reward function is not called; otherwise it
+        runs inline (device reward or io_callback)."""
         stop, valid, needs_reward, zs_atomic, new_z = self.reward_inputs(
             states, element_index, position)
         if rewards is None:
@@ -271,6 +284,12 @@ class MolecularEnv:
                                         new_z, needs_reward)
         else:
             raw_reward = rewards
+        return self._finalize(states, element_index, position, stop, valid,
+                              raw_reward)
+
+    def _finalize(self, states: EnvState, element_index: jnp.ndarray,
+                  position: jnp.ndarray, stop: jnp.ndarray, valid: jnp.ndarray,
+                  raw_reward: jnp.ndarray) -> StepResult:
 
         def update_one(state, elem_idx, pos, stop_i, valid_i, raw_r):
             low = raw_r < self.min_reward

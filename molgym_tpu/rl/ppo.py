@@ -121,26 +121,36 @@ def make_train_fn(agent, optimizer: optax.GradientTransformation,
         return grads, info
 
     def train(params, opt_state, data, rng):
-        def epoch(carry, epoch_rng):
-            params, opt_state, active, num_opt_steps, _last = carry
+        def run_epoch(carry, epoch_rng):
+            params, opt_state, active, num_opt_steps, last_info = carry
             grads, info = epoch_grads(params, data, epoch_rng)
             info['grad_norm'] = optax.global_norm(grads)
 
             kl_ok = info['approx_kl'] <= 1.5 * config.target_kl
-            do_step = jnp.logical_and(active, kl_ok)
 
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
 
             params = jax.tree.map(
-                lambda new, old: jnp.where(do_step, new, old), new_params, params)
+                lambda new, old: jnp.where(kl_ok, new, old), new_params, params)
             opt_state = jax.tree.map(
-                lambda new, old: jnp.where(do_step, new, old), new_opt_state,
+                lambda new, old: jnp.where(kl_ok, new, old), new_opt_state,
                 opt_state)
-            num_opt_steps = num_opt_steps + do_step.astype(jnp.int32)
-            # After a KL violation nothing further runs (reference `break`).
-            next_active = do_step
-            return (params, opt_state, next_active, num_opt_steps, info), None
+            num_opt_steps = num_opt_steps + kl_ok.astype(jnp.int32)
+            # Record metrics only for epochs that actually stepped — the
+            # reference breaks before logging the violating epoch
+            # (ppo.py:138-152).
+            last_info = jax.tree.map(
+                lambda new, old: jnp.where(kl_ok, new, old), info, last_info)
+            return params, opt_state, kl_ok, num_opt_steps, last_info
+
+        def epoch(carry, epoch_rng):
+            # After the KL early stop the remaining epochs are true no-ops
+            # (reference `break`); lax.cond skips the dead gradient work.
+            active = carry[2]
+            new_carry = jax.lax.cond(
+                active, lambda c: run_epoch(c, epoch_rng), lambda c: c, carry)
+            return new_carry, None
 
         zero_info = dict(policy_loss=0.0, entropy_loss=0.0, vf_loss=0.0,
                          total_loss=0.0, approx_kl=0.0, clip_fraction=0.0,

@@ -79,7 +79,7 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
     act = jax.jit(lambda p, o, k: agent.apply(p, o, k, deterministic,
                                               method=agent.act))
     reward_inputs = jax.jit(env.reward_inputs)
-    step_with_rewards = jax.jit(env.step)
+    finalize_step = jax.jit(env.finalize_step)
     reset_if_terminal = jax.jit(env.reset_if_terminal)
     reset_all = jax.jit(lambda s: jax.vmap(env.reset)(s))
 
@@ -90,7 +90,7 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
         for _t in range(num_steps_per_env):
             rng, key = jax.random.split(rng)
             out = act(params, obs, key)
-            _stop, _valid, needs, zs_atomic, new_z = reward_inputs(
+            stop, valid, needs, zs_atomic, new_z = reward_inputs(
                 states, out.element, out.position)
             rewards = batch_calculator.batch_reward(
                 np.asarray(zs_atomic), np.asarray(states.positions, np.float64),
@@ -99,8 +99,8 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
             if distance_penalty:
                 dist = np.linalg.norm(np.asarray(out.position, np.float64), axis=-1)
                 rewards = rewards - distance_penalty * dist * np.asarray(needs)
-            result = step_with_rewards(states, out.element, out.position,
-                                       jnp.asarray(rewards, jnp.float32))
+            result = finalize_step(states, out.element, out.position, stop,
+                                   valid, jnp.asarray(rewards, jnp.float32))
             obs_seq.append(obs)
             next_obs_seq.append(result.observation)
             act_seq.append(out.action_flat)
