@@ -28,7 +28,13 @@
 #include <thread>
 #include <vector>
 
+extern "C" double mg_eht_energy(const int* zs, const double* positions, int n);
+
 namespace {
+
+inline double eht_total_energy(const int* zs, const double* pos, int n) {
+  return mg_eht_energy(zs, pos, n);
+}
 
 // ---------------------------------------------------------------------------
 // Element data (covalent radii, Angstrom; index = atomic number, 0 = null)
@@ -44,7 +50,7 @@ inline double radius(int z) {
   return kRadii[z];
 }
 
-enum Method : int { kLennardJones = 0, kMorse = 1 };
+enum Method : int { kLennardJones = 0, kMorse = 1, kExtendedHuckel = 2 };
 
 struct PairParams {
   double epsilon = 0.15;  // well depth, Hartree-like units
@@ -80,6 +86,7 @@ inline double pair_denergy_dr(int method, const PairParams& p, int zi, int zj,
 
 double total_energy(int method, const PairParams& p, const int* zs,
                     const double* pos, int n) {
+  if (method == kExtendedHuckel) return eht_total_energy(zs, pos, n);
   double e = 0.0;
   for (int i = 0; i < n; ++i) {
     for (int j = i + 1; j < n; ++j) {
@@ -96,6 +103,20 @@ double total_energy(int method, const PairParams& p, const int* zs,
 void total_gradients(int method, const PairParams& p, const int* zs,
                      const double* pos, int n, double* grad) {
   std::memset(grad, 0, sizeof(double) * 3 * n);
+  if (method == kExtendedHuckel) {
+    // central finite differences (EHT has no cheap analytic gradient here)
+    const double eps = 1e-4;
+    std::vector<double> work(pos, pos + 3 * n);
+    for (int i = 0; i < 3 * n; ++i) {
+      work[i] = pos[i] + eps;
+      const double ep = eht_total_energy(zs, work.data(), n);
+      work[i] = pos[i] - eps;
+      const double em = eht_total_energy(zs, work.data(), n);
+      work[i] = pos[i];
+      grad[i] = (ep - em) / (2.0 * eps);
+    }
+    return;
+  }
   for (int i = 0; i < n; ++i) {
     for (int j = i + 1; j < n; ++j) {
       const double dx = pos[3 * i] - pos[3 * j];

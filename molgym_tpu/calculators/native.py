@@ -21,6 +21,7 @@ _LIB_PATH = os.path.join(_CSRC_DIR, 'libmolgym_host.so')
 
 METHOD_LJ = 0
 METHOD_MORSE = 1
+METHOD_EHT = 2  # extended Hückel (native electronic structure, csrc/eht.cpp)
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -108,7 +109,8 @@ class NativeCalc:
     def __init__(self, method: str = 'LJ', epsilon: float = 0.15) -> None:
         from molgym_tpu.periodic import ATOMIC_NUMBERS
         self.lib = load_library()
-        self.method = METHOD_MORSE if method.upper() == 'MORSE' else METHOD_LJ
+        self.method = {'LJ': METHOD_LJ, 'MORSE': METHOD_MORSE,
+                       'EHT': METHOD_EHT}[method.upper()]
         self.epsilon = epsilon
         self._atomic_numbers = ATOMIC_NUMBERS
         self._zs: Optional[np.ndarray] = None

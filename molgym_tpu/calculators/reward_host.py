@@ -74,9 +74,11 @@ class InteractionReward(MolecularReward):
                     "'morse' on hosts without it")
             self._batch = SparrowBatchCalculator(method=method)
         else:
-            from molgym_tpu.calculators.native import (METHOD_LJ, METHOD_MORSE,
+            from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_LJ,
+                                                       METHOD_MORSE,
                                                        NativeBatchCalculator)
-            method_id = METHOD_MORSE if backend == 'morse' else METHOD_LJ
+            method_id = {'lj': METHOD_LJ, 'morse': METHOD_MORSE,
+                         'eht': METHOD_EHT}[backend]
             self._batch = NativeBatchCalculator(method=method_id)
 
     @property

@@ -65,10 +65,12 @@ def build_default_argparser() -> argparse.ArgumentParser:
     # Reward backend
     parser.add_argument('--reward',
                         help='reward backend: sparrow (PM6 via scine), '
-                             'lj/morse (native C++ host pool), '
-                             'device_lj/device_morse (pure on-device)',
+                             'eht (native extended-Hückel electronic '
+                             'structure), lj/morse (native C++ pair '
+                             'potentials), device_lj/device_morse (pure '
+                             'on-device)',
                         type=str, default='sparrow',
-                        choices=['sparrow', 'lj', 'morse', 'device_lj',
+                        choices=['sparrow', 'eht', 'lj', 'morse', 'device_lj',
                                  'device_morse'])
     parser.add_argument('--host_reward_mode',
                         help='host reward transport: io_callback inside the '

@@ -79,10 +79,12 @@ def make_reward_fn(config: dict, solvation: bool = False
         calc = SparrowBatchCalculator(
             num_threads=config.get('num_reward_threads', 8))
     else:
-        from molgym_tpu.calculators.native import (METHOD_LJ, METHOD_MORSE,
+        from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_LJ,
+                                                   METHOD_MORSE,
                                                    NativeBatchCalculator)
-        calc = NativeBatchCalculator(
-            method=METHOD_MORSE if backend == 'morse' else METHOD_LJ)
+        calc = NativeBatchCalculator(method={
+            'lj': METHOD_LJ, 'morse': METHOD_MORSE, 'eht': METHOD_EHT
+        }[backend])
     return make_host_reward(calc, distance_penalty=penalty), calc
 
 

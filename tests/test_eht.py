@@ -1,0 +1,87 @@
+"""Extended Hückel native backend tests (csrc/eht.cpp)."""
+import numpy as np
+import pytest
+
+from molgym_tpu.atoms import Atom, Atoms
+from molgym_tpu.calculators.native import METHOD_EHT, NativeBatchCalculator, NativeCalc
+from molgym_tpu.calculators.reward_host import InteractionReward
+from molgym_tpu.minimizer import minimize
+
+
+def energy(symbols, positions):
+    calc = NativeCalc(method='EHT')
+    calc.set_elements(symbols)
+    calc.set_positions(np.asarray(positions, np.float64))
+    return calc.calculate_energy()
+
+
+class TestEHTEnergies:
+    def test_h2_binding_curve(self):
+        """H2 binds with a minimum near the physical bond length."""
+        e_atoms = 2 * energy(['H'], [[0, 0, 0]])
+        rs = np.arange(0.4, 2.51, 0.05)
+        es = np.array([energy(['H', 'H'], [[0, 0, 0], [r, 0, 0]]) - e_atoms
+                       for r in rs])
+        r_min = rs[np.argmin(es)]
+        assert 0.5 < r_min < 1.0
+        assert es.min() < -0.1  # bound by > 0.1 Ha
+        assert es[0] > es.min()  # repulsive wall at short range
+
+    def test_oh_binding(self):
+        e_atoms = energy(['O'], [[0, 0, 0]]) + energy(['H'], [[0, 0, 0]])
+        e_bond = energy(['O', 'H'], [[0, 0, 0], [0.97, 0, 0]]) - e_atoms
+        assert e_bond < -0.1
+
+    def test_translation_rotation_invariance(self):
+        pos = np.array([[0, 0, 0], [0.7, 0.2, -0.1], [0.1, 0.9, 0.3]])
+        e0 = energy(['O', 'H', 'H'], pos)
+        e1 = energy(['O', 'H', 'H'], pos + np.array([5.0, -3.0, 2.0]))
+        rot = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        e2 = energy(['O', 'H', 'H'], pos @ rot.T)
+        assert e0 == pytest.approx(e1, abs=1e-9)
+        assert e0 == pytest.approx(e2, abs=1e-8)
+
+    def test_empty_and_single(self):
+        assert energy([], np.zeros((0, 3))) == 0.0
+        assert np.isfinite(energy(['C'], [[0, 0, 0]]))
+
+    def test_fd_gradients_consistent(self):
+        calc = NativeCalc(method='EHT')
+        calc.set_elements(['O', 'H'])
+        pos = np.array([[0, 0, 0], [1.1, 0.1, 0]], np.float64)
+        calc.set_positions(pos)
+        grad = calc.calculate_gradients()
+        assert grad.shape == (2, 3)
+        # translational invariance: gradients sum to ~0
+        np.testing.assert_allclose(grad.sum(0), 0.0, atol=1e-5)
+
+
+class TestEHTReward:
+    def test_bond_formation_rewarded(self):
+        reward = InteractionReward(backend='eht')
+        r, _ = reward.calculate(Atoms(['O'], [[0, 0, 0]]), Atom('H', (0.97, 0, 0)))
+        assert r > 0.1
+        r_far, _ = reward.calculate(Atoms(['O'], [[0, 0, 0]]),
+                                    Atom('H', (0.3, 0, 0)))
+        assert r_far < r  # compressed bond is worse
+
+    def test_batched(self):
+        calc = NativeBatchCalculator(method=METHOD_EHT)
+        zs = np.array([[8, 0], [8, 1]], np.int32)
+        positions = np.zeros((2, 2, 3))
+        positions[1, 1] = [0.97, 0, 0]
+        r = calc.batch_reward(zs, positions, np.array([1, 2], np.int32),
+                              np.array([1, 1], np.int32),
+                              np.array([[0.97, 0, 0], [-0.97, 0, 0.2]]),
+                              np.array([1, 1], np.uint8))
+        assert np.isfinite(r).all()
+        assert r[0] > 0.1
+
+
+class TestEHTMinimizer:
+    def test_h2_relaxes_to_bond_length(self):
+        calc = NativeCalc(method='EHT')
+        atoms = Atoms(['H', 'H'], [[0, 0, 0], [1.4, 0, 0]])
+        relaxed, success = minimize(calc, atoms, max_iter=200)
+        d = np.linalg.norm(relaxed.positions[1] - relaxed.positions[0])
+        assert 0.5 < d < 1.0
