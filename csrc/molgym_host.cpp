@@ -259,8 +259,11 @@ int mg_batch_reward(int n_mols, int max_atoms, const int* zs,
                                       p_all.data(), count + 1);
     const double e_prev =
         total_energy(method, params, z_all.data(), p_all.data(), count);
-    // single atoms have zero pair energy; kept explicit for backend parity
-    const double e_atom = 0.0;
+    // E(new atom alone): zero for pair potentials, but NOT for electronic-
+    // structure methods (EHT) where the isolated atom carries its orbital
+    // energies (reference semantics: reward.py:43-44,57-62).
+    const double e_atom =
+        total_energy(method, params, &z_all[count], &p_all[3 * count], 1);
     rewards[m] = -(e_all - e_prev - e_atom);
   });
   g_total_evals.fetch_add(2LL * n_mols);

@@ -60,10 +60,17 @@ class TestEHTReward:
     def test_bond_formation_rewarded(self):
         reward = InteractionReward(backend='eht')
         r, _ = reward.calculate(Atoms(['O'], [[0, 0, 0]]), Atom('H', (0.97, 0, 0)))
-        assert r > 0.1
+        # pure interaction energy: the isolated atom's orbital energies must
+        # NOT leak into the reward (E(atom alone) subtracted, reward.py:43-44)
+        assert 0.1 < r < 0.4
         r_far, _ = reward.calculate(Atoms(['O'], [[0, 0, 0]]),
                                     Atom('H', (0.3, 0, 0)))
-        assert r_far < r  # compressed bond is worse
+        assert r_far < 0  # compressed bond is punished
+
+    def test_first_atom_zero_reward(self):
+        reward = InteractionReward(backend='eht')
+        r, _ = reward.calculate(Atoms(), Atom('O', (0, 0, 0)))
+        assert r == pytest.approx(0.0, abs=1e-9)
 
     def test_batched(self):
         calc = NativeBatchCalculator(method=METHOD_EHT)
