@@ -44,11 +44,16 @@ struct ElementBasis {
 };
 
 // returns basis or nullptr if unsupported
-const ElementBasis* element_basis(int z) {
-  static ElementBasis H, C, N, O, F, S;
-  static bool init = false;
-  if (!init) {
-    init = true;
+struct BasisTable {
+  ElementBasis H, C, N, O, F, S;
+};
+
+// thread-safe: C++11 magic-static initialization (the first EHT evaluation
+// runs concurrently on the host thread pool)
+const BasisTable& basis_table() {
+  static const BasisTable table = [] {
+    BasisTable t;
+    ElementBasis &H = t.H, &C = t.C, &N = t.N, &O = t.O, &F = t.F, &S = t.S;
     H.n_shells = 1;
     H.valence_electrons = 1;
     H.repulsion_radius = 0.31;
@@ -79,14 +84,20 @@ const ElementBasis* element_basis(int z) {
                    {-0.21962037, 0.22559543, 0.90039843}, -20.0};
     S.shells[1] = {1, {2.0291942, 0.5661400, 0.2215833},
                    {0.01058760, 0.59516701, 0.46200101}, -11.0};
-  }
+    return t;
+  }();
+  return table;
+}
+
+const ElementBasis* element_basis(int z) {
+  const BasisTable& t = basis_table();
   switch (z) {
-    case 1: return &H;
-    case 6: return &C;
-    case 7: return &N;
-    case 8: return &O;
-    case 9: return &F;
-    case 16: return &S;
+    case 1: return &t.H;
+    case 6: return &t.C;
+    case 7: return &t.N;
+    case 8: return &t.O;
+    case 9: return &t.F;
+    case 16: return &t.S;
     default: return nullptr;
   }
 }

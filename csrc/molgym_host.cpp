@@ -234,11 +234,13 @@ int mg_batch_reward(int n_mols, int max_atoms, const int* zs,
                     double* rewards) {
   PairParams params;
   params.epsilon = epsilon;
+  std::atomic<long long> evals(0);
   pool().run_batch(n_mols, [&](int m) {
     if (!valid[m]) {
       rewards[m] = 0.0;
       return;
     }
+    evals.fetch_add(3);  // e_all, e_prev, e_atom
     const int n = n_atoms[m];
     // assemble compacted molecule + the new atom
     std::vector<int> z_all(n + 1);
@@ -266,7 +268,7 @@ int mg_batch_reward(int n_mols, int max_atoms, const int* zs,
         total_energy(method, params, &z_all[count], &p_all[3 * count], 1);
     rewards[m] = -(e_all - e_prev - e_atom);
   });
-  g_total_evals.fetch_add(2LL * n_mols);
+  g_total_evals.fetch_add(evals.load());
   g_total_batches.fetch_add(1);
   return 0;
 }

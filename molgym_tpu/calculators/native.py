@@ -35,8 +35,14 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if os.path.isdir(_CSRC_DIR) and os.path.exists(
+            os.path.join(_CSRC_DIR, 'Makefile')):
+        # make is a no-op when the .so is newer than the sources; this keeps
+        # the loaded physics in sync after source edits (a stale committed
+        # binary would otherwise load silently)
         _build()
+    elif not os.path.exists(_LIB_PATH):
+        raise RuntimeError(f'native library missing: {_LIB_PATH}')
     lib = ctypes.CDLL(_LIB_PATH)
 
     c_int_p = ctypes.POINTER(ctypes.c_int)

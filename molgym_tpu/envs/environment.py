@@ -271,19 +271,15 @@ class MolecularEnv:
                               raw_reward)
 
     def step(self, states: EnvState, element_index: jnp.ndarray,
-             position: jnp.ndarray,
-             rewards: Optional[jnp.ndarray] = None) -> StepResult:
+             position: jnp.ndarray) -> StepResult:
         """Batched step. element_index: int32[B]; position: float32[B, 3].
-        If `rewards` is given the reward function is not called; otherwise it
-        runs inline (device reward or io_callback)."""
+        The reward function runs inline (device reward or io_callback); the
+        host-loop path uses reward_inputs + finalize_step instead."""
         stop, valid, needs_reward, zs_atomic, new_z = self.reward_inputs(
             states, element_index, position)
-        if rewards is None:
-            # Batched reward — the single host/device boundary of the step.
-            raw_reward = self.reward_fn(states.positions, zs_atomic, position,
-                                        new_z, needs_reward)
-        else:
-            raw_reward = rewards
+        # Batched reward — the single host/device boundary of the step.
+        raw_reward = self.reward_fn(states.positions, zs_atomic, position,
+                                    new_z, needs_reward)
         return self._finalize(states, element_index, position, stop, valid,
                               raw_reward)
 

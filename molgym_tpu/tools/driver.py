@@ -60,18 +60,20 @@ def supports_host_callbacks() -> bool:
 
 
 def make_reward_fn(config: dict, solvation: bool = False
-                   ) -> Tuple[RewardFn, Optional[object]]:
-    """Returns (batched RewardFn for the env, host batch calculator or None)."""
+                   ) -> Tuple[RewardFn, Optional[object], float]:
+    """Returns (batched RewardFn, host batch calculator or None, distance
+    penalty) — the penalty is returned so callback and host-loop transports
+    share one definition."""
     backend = config.get('reward', 'sparrow')
     penalty = config.get('distance_penalty', 0.01) if solvation else 0.0
     if backend == 'device_lj':
         fn = device_reward.make_lennard_jones_reward()
         return (device_reward.with_solvation_penalty(fn, penalty)
-                if solvation else fn), None
+                if solvation else fn), None, penalty
     if backend == 'device_morse':
         fn = device_reward.make_morse_reward()
         return (device_reward.with_solvation_penalty(fn, penalty)
-                if solvation else fn), None
+                if solvation else fn), None, penalty
 
     from molgym_tpu.calculators.reward_host import make_host_reward
     if backend == 'sparrow':
@@ -85,7 +87,7 @@ def make_reward_fn(config: dict, solvation: bool = False
         calc = NativeBatchCalculator(method={
             'lj': METHOD_LJ, 'morse': METHOD_MORSE, 'eht': METHOD_EHT
         }[backend])
-    return make_host_reward(calc, distance_penalty=penalty), calc
+    return make_host_reward(calc, distance_penalty=penalty), calc, penalty
 
 
 EnvBuilder = Callable[[dict, ObservationSpace, RewardFn],
@@ -144,7 +146,8 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     observation_space = ObservationSpace(canvas_size=config['canvas_size'], zs=zs)
     action_space = ActionSpace(zs=zs)
 
-    reward_fn, host_calc = make_reward_fn(config, solvation=solvation)
+    reward_fn, host_calc, distance_penalty = make_reward_fn(
+        config, solvation=solvation)
 
     host_loop_calc = None
     mode = config.get('host_reward_mode', 'auto')
@@ -225,8 +228,7 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         profile_dir=(os.path.join(config['log_dir'], 'profile')
                      if config.get('profile') else None),
         host_loop_calculator=host_loop_calc,
-        host_distance_penalty=(config.get('distance_penalty', 0.01)
-                               if solvation else 0.0),
+        host_distance_penalty=distance_penalty,
     )
     if host_calc is not None and hasattr(host_calc, 'pool_stats'):
         logging.info(f'Host reward pool stats: {host_calc.pool_stats()}')
