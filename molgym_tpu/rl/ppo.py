@@ -164,6 +164,9 @@ def make_train_fn(agent, optimizer: optax.GradientTransformation,
         info['num_opt_steps'] = num_opt_steps
         return params, opt_state, info
 
+    # NOTE: no buffer donation — callers (tests, notebooks) legitimately keep
+    # the pre-update params to compare against, and the copies are only a few
+    # MB for these model sizes.
     return jax.jit(train)
 
 

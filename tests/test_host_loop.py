@@ -68,3 +68,9 @@ class TestHostLoopRollout:
         # penalized rewards are <= unpenalized wherever an atom was placed
         assert np.all(r1 <= r0 + 1e-6)
         assert np.any(r1 < r0 - 1e-6)
+
+
+class TestDriverProbes:
+    def test_supports_host_callbacks_on_cpu(self):
+        from molgym_tpu.tools.driver import supports_host_callbacks
+        assert supports_host_callbacks()  # CPU backend supports io_callback
