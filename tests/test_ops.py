@@ -181,3 +181,22 @@ class TestScanMath:
         adv_ref, ret_ref = _reference_gae(rewards, values, terminals, bootstrap, gamma, lam)
         np.testing.assert_allclose(adv, adv_ref, atol=1e-4)
         np.testing.assert_allclose(ret, ret_ref, atol=1e-4)
+
+
+class TestPallasSoftmax:
+    def test_matches_masked_softmax(self):
+        from molgym_tpu.ops.pallas_softmax import masked_softmax_pallas
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(5, 7, 25).astype(np.float32))
+        mask = jnp.asarray(rng.rand(5, 7, 25) > 0.4)
+        ref = masked_softmax(logits, mask)
+        out = masked_softmax_pallas(logits, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_fully_masked_row_zero(self):
+        from molgym_tpu.ops.pallas_softmax import masked_softmax_pallas
+        logits = jnp.ones((2, 8))
+        mask = jnp.zeros((2, 8), bool).at[1, 3].set(True)
+        out = masked_softmax_pallas(logits, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+        assert float(out[1, 3]) == 1.0
