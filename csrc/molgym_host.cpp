@@ -29,6 +29,10 @@
 #include <vector>
 
 extern "C" double mg_eht_energy(const int* zs, const double* positions, int n);
+extern "C" double mg_nddo_energy(const int* zs, const double* positions, int n,
+                                 int charge, int multiplicity);
+extern "C" int mg_nddo_gradients(const int* zs, const double* positions, int n,
+                                 int charge, int multiplicity, double* grad);
 
 namespace {
 
@@ -50,7 +54,12 @@ inline double radius(int z) {
   return kRadii[z];
 }
 
-enum Method : int { kLennardJones = 0, kMorse = 1, kExtendedHuckel = 2 };
+enum Method : int {
+  kLennardJones = 0,
+  kMorse = 1,
+  kExtendedHuckel = 2,
+  kPM6 = 3  // native NDDO SCF (csrc/nddo.cpp), reference reward parity
+};
 
 struct PairParams {
   double epsilon = 0.15;  // well depth, Hartree-like units
@@ -87,6 +96,10 @@ inline double pair_denergy_dr(int method, const PairParams& p, int zi, int zj,
 double total_energy(int method, const PairParams& p, const int* zs,
                     const double* pos, int n) {
   if (method == kExtendedHuckel) return eht_total_energy(zs, pos, n);
+  if (method == kPM6) {
+    // neutral molecule, multiplicity (sum Z) % 2 + 1 (reward.py:17-19,28-32)
+    return mg_nddo_energy(zs, pos, n, /*charge=*/0, /*multiplicity=*/0);
+  }
   double e = 0.0;
   for (int i = 0; i < n; ++i) {
     for (int j = i + 1; j < n; ++j) {
@@ -103,6 +116,10 @@ double total_energy(int method, const PairParams& p, const int* zs,
 void total_gradients(int method, const PairParams& p, const int* zs,
                      const double* pos, int n, double* grad) {
   std::memset(grad, 0, sizeof(double) * 3 * n);
+  if (method == kPM6) {
+    mg_nddo_gradients(zs, pos, n, 0, 0, grad);
+    return;
+  }
   if (method == kExtendedHuckel) {
     // central finite differences (EHT has no cheap analytic gradient here)
     const double eps = 1e-4;
@@ -267,6 +284,10 @@ int mg_batch_reward(int n_mols, int max_atoms, const int* zs,
     const double e_atom =
         total_energy(method, params, &z_all[count], &p_all[3 * count], 1);
     rewards[m] = -(e_all - e_prev - e_atom);
+    // A non-converged SCF (PM6) yields NaN; map it to a very negative reward
+    // so the env's min_reward clamp terminates the episode (reference
+    // environment.py:68-70 semantics for runaway energies).
+    if (!std::isfinite(rewards[m])) rewards[m] = -1e6;
   });
   g_total_evals.fetch_add(evals.load());
   g_total_batches.fetch_add(1);

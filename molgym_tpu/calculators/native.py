@@ -22,6 +22,7 @@ _LIB_PATH = os.path.join(_CSRC_DIR, 'libmolgym_host.so')
 METHOD_LJ = 0
 METHOD_MORSE = 1
 METHOD_EHT = 2  # extended Hückel (native electronic structure, csrc/eht.cpp)
+METHOD_PM6 = 3  # native NDDO/PM6 SCF (csrc/nddo.cpp) — reference reward parity
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -63,6 +64,14 @@ def load_library() -> ctypes.CDLL:
     lib.mg_pool_stats.restype = None
     lib.mg_pool_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong),
                                   ctypes.POINTER(ctypes.c_longlong)]
+    lib.mg_nddo_energy.restype = ctypes.c_double
+    lib.mg_nddo_energy.argtypes = [c_int_p, c_dbl_p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int]
+    lib.mg_nddo_gradients.restype = ctypes.c_int
+    lib.mg_nddo_gradients.argtypes = [c_int_p, c_dbl_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, c_dbl_p]
+    lib.mg_nddo_supported.restype = ctypes.c_int
+    lib.mg_nddo_supported.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
 
@@ -116,11 +125,12 @@ class NativeCalc:
         from molgym_tpu.periodic import ATOMIC_NUMBERS
         self.lib = load_library()
         self.method = {'LJ': METHOD_LJ, 'MORSE': METHOD_MORSE,
-                       'EHT': METHOD_EHT}[method.upper()]
+                       'EHT': METHOD_EHT, 'PM6': METHOD_PM6}[method.upper()]
         self.epsilon = epsilon
         self._atomic_numbers = ATOMIC_NUMBERS
         self._zs: Optional[np.ndarray] = None
         self._positions: Optional[np.ndarray] = None
+        self._settings: dict = {}
 
     def set_elements(self, elements: Sequence) -> None:
         zs = [self._atomic_numbers[e] if isinstance(e, str) else int(e)
@@ -131,11 +141,24 @@ class NativeCalc:
         self._positions = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 3)
 
     def set_settings(self, settings: dict) -> None:
-        # Pair potentials have no SCF settings; accepted for API parity.
+        # PM6 honors molecular_charge / spin_multiplicity (reference
+        # calculator.py:38-63 contract); pair potentials accept for parity.
         self._settings = dict(settings)
+
+    def _scf_args(self):
+        charge = int(self._settings.get('molecular_charge', 0))
+        # multiplicity 0 -> native default rule (sum Z) % 2 + 1
+        mult = int(self._settings.get('spin_multiplicity', 0))
+        return charge, mult
 
     def calculate_energy(self) -> float:
         assert self._zs is not None and self._positions is not None
+        if self.method == METHOD_PM6:
+            charge, mult = self._scf_args()
+            return float(self.lib.mg_nddo_energy(
+                _ptr(self._zs, ctypes.c_int),
+                _ptr(self._positions, ctypes.c_double), len(self._zs),
+                charge, mult))
         return float(self.lib.mg_energy(
             _ptr(self._zs, ctypes.c_int), _ptr(self._positions, ctypes.c_double),
             len(self._zs), self.method, self.epsilon))
@@ -143,9 +166,17 @@ class NativeCalc:
     def calculate_gradients(self) -> np.ndarray:
         assert self._zs is not None and self._positions is not None
         grad = np.zeros((len(self._zs), 3), dtype=np.float64)
-        ret = self.lib.mg_gradients(
-            _ptr(self._zs, ctypes.c_int), _ptr(self._positions, ctypes.c_double),
-            len(self._zs), self.method, self.epsilon,
-            _ptr(grad, ctypes.c_double))
+        if self.method == METHOD_PM6:
+            charge, mult = self._scf_args()
+            ret = self.lib.mg_nddo_gradients(
+                _ptr(self._zs, ctypes.c_int),
+                _ptr(self._positions, ctypes.c_double), len(self._zs),
+                charge, mult, _ptr(grad, ctypes.c_double))
+        else:
+            ret = self.lib.mg_gradients(
+                _ptr(self._zs, ctypes.c_int),
+                _ptr(self._positions, ctypes.c_double),
+                len(self._zs), self.method, self.epsilon,
+                _ptr(grad, ctypes.c_double))
         assert ret == 0
         return grad

@@ -76,9 +76,10 @@ class InteractionReward(MolecularReward):
         else:
             from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_LJ,
                                                        METHOD_MORSE,
+                                                       METHOD_PM6,
                                                        NativeBatchCalculator)
             method_id = {'lj': METHOD_LJ, 'morse': METHOD_MORSE,
-                         'eht': METHOD_EHT}[backend]
+                         'eht': METHOD_EHT, 'pm6': METHOD_PM6}[backend]
             self._batch = NativeBatchCalculator(method=method_id)
 
     @property

@@ -64,14 +64,16 @@ def build_default_argparser() -> argparse.ArgumentParser:
 
     # Reward backend
     parser.add_argument('--reward',
-                        help='reward backend: sparrow (PM6 via scine), '
+                        help='reward backend: pm6 (native NDDO SCF, matches '
+                             'the reference Sparrow-PM6 golden energies), '
+                             'sparrow (PM6 via scine when installed), '
                              'eht (native extended-Hückel electronic '
                              'structure), lj/morse (native C++ pair '
                              'potentials), device_lj/device_morse (pure '
                              'on-device)',
                         type=str, default='sparrow',
-                        choices=['sparrow', 'eht', 'lj', 'morse', 'device_lj',
-                                 'device_morse'])
+                        choices=['sparrow', 'pm6', 'eht', 'lj', 'morse',
+                                 'device_lj', 'device_morse'])
     parser.add_argument('--host_reward_mode',
                         help='host reward transport: io_callback inside the '
                              'rollout scan, a host-orchestrated step loop, or '

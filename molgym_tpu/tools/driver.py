@@ -82,10 +82,11 @@ def make_reward_fn(config: dict, solvation: bool = False
             num_threads=config.get('num_reward_threads', 8))
     else:
         from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_LJ,
-                                                   METHOD_MORSE,
+                                                   METHOD_MORSE, METHOD_PM6,
                                                    NativeBatchCalculator)
         calc = NativeBatchCalculator(method={
-            'lj': METHOD_LJ, 'morse': METHOD_MORSE, 'eht': METHOD_EHT
+            'lj': METHOD_LJ, 'morse': METHOD_MORSE, 'eht': METHOD_EHT,
+            'pm6': METHOD_PM6
         }[backend])
     return make_host_reward(calc, distance_penalty=penalty), calc, penalty
 

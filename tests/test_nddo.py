@@ -1,0 +1,240 @@
+"""Native PM6 (NDDO SCF) backend tests — reference golden-value parity.
+
+These are the reference's Sparrow golden tests (reference
+tests/test_sparrow.py:22-66, tests/test_reward.py:191-220,
+tests/resources/{energy,gradients}.dat) reproduced WITHOUT scine: the
+energies come from the in-tree C++ NDDO SCF (csrc/nddo.cpp), cross-checked
+against the pure-numpy oracle (calculators/nddo_ref.py).
+"""
+import numpy as np
+import pytest
+
+from molgym_tpu.atoms import Atom, Atoms
+from molgym_tpu.calculators import nddo_ref
+from molgym_tpu.calculators.native import (METHOD_PM6, NativeBatchCalculator,
+                                           NativeCalc)
+from molgym_tpu.calculators.reward_host import InteractionReward
+from molgym_tpu.minimizer import minimize
+
+# reference tests/resources/h2o.xyz
+H2O_ZS = [8, 1, 1]
+H2O_POS = np.array([[-0.27939703, 0.83823215, 0.00973345],
+                    [-0.52040310, 1.77677325, 0.21391146],
+                    [0.54473632, 0.90669722, -0.53501306]])
+# reference tests/resources/energy.dat / gradients.dat (Sparrow 1.0 PM6 CLI)
+H2O_ENERGY = -11.72459668
+H2O_GRADIENTS = np.array([[-8.700857e-03, -1.502556e-02, 5.081632e-03],
+                          [-4.048210e-03, 1.437334e-02, 3.364464e-03],
+                          [1.274907e-02, 6.522202e-04, -8.446095e-03]])
+
+
+def pm6_calc(symbols, positions, charge=0, multiplicity=0):
+    calc = NativeCalc(method='PM6')
+    calc.set_elements(symbols)
+    calc.set_positions(np.asarray(positions, np.float64))
+    calc.set_settings({'molecular_charge': charge,
+                       'spin_multiplicity': multiplicity})
+    return calc
+
+
+class TestGoldenEnergies:
+    """Reference tests/test_sparrow.py parity, scine-free."""
+
+    def test_h2_energy_and_gradients(self):
+        calc = pm6_calc(['H', 'H'], [(0, 0, 0), (1.2, 0, 0)],
+                        charge=0, multiplicity=1)
+        energy = calc.calculate_energy()
+        gradients = calc.calculate_gradients()
+        assert energy == pytest.approx(-0.9379853016, abs=5e-8)
+        assert gradients.shape == (2, 3)
+
+    def test_atomic_energies(self):
+        # multiplicities as in reference tests/test_sparrow.py:36-48
+        assert pm6_calc(['H'], [(0, 0, 0)], multiplicity=2).calculate_energy() \
+            == pytest.approx(-0.4133180865, abs=1e-8)
+        assert pm6_calc(['C'], [(0, 0, 0)], multiplicity=1).calculate_energy() \
+            == pytest.approx(-4.162353543, abs=1e-8)
+        assert pm6_calc(['O'], [(0, 0, 0)], multiplicity=1).calculate_energy() \
+            == pytest.approx(-10.37062419, abs=1e-8)
+
+    def test_h2o_energy_and_gradients(self):
+        calc = pm6_calc(['O', 'H', 'H'], H2O_POS, multiplicity=1)
+        assert calc.calculate_energy() == pytest.approx(H2O_ENERGY, abs=5e-8)
+        np.testing.assert_allclose(calc.calculate_gradients(), H2O_GRADIENTS,
+                                   atol=5e-7)
+
+
+class TestGoldenRewards:
+    """Reference tests/test_reward.py parity with the pm6 backend."""
+
+    def setup_method(self):
+        self.reward = InteractionReward(backend='pm6')
+
+    def test_first_atom_zero(self):
+        r, _ = self.reward.calculate(Atoms(), Atom('H', (0, 0, 0)))
+        assert r == pytest.approx(0.0, abs=1e-10)
+
+    def test_h2(self):
+        atoms = Atoms(['H'], [[0, 0, 0]])
+        r, info = self.reward.calculate(atoms, Atom('H', (1.0, 0, 0)))
+        assert r == pytest.approx(0.1696435, abs=1e-7)
+        assert info['elapsed_time'] > 0
+
+    def test_addition(self):
+        atoms = Atoms(['H'], [[0, 0, 0]])
+        r1, _ = self.reward.calculate(atoms, Atom('H', (1.0, 0, 0)))
+        atoms = Atoms(['H', 'H'], [[0, 0, 0], [1.0, 0, 0]])
+        r2, _ = self.reward.calculate(atoms, Atom('H', (2.0, 0, 0)))
+        assert r1 + r2 == pytest.approx(0.2141968, abs=1e-7)
+
+
+class TestOracleParity:
+    """C++ implementation vs the pure-numpy oracle (nddo_ref.py)."""
+
+    def test_random_molecules(self):
+        """Same SCF outcome both sides: equal energies when converged, and
+        consistent non-convergence (NaN) on pathological clusters."""
+        rng = np.random.default_rng(7)
+        zs_pool = [1, 6, 7, 8, 9]
+        n_converged = 0
+        for trial in range(6):
+            n = int(rng.integers(2, 6))
+            zs = [int(rng.choice(zs_pool)) for _ in range(n)]
+            pos = rng.uniform(-1.0, 1.0, (n, 3)) * 1.4
+            pos[:, 0] += np.arange(n) * 1.6
+            e_cpp = pm6_calc([int(z) for z in zs], pos).calculate_energy()
+            _, conv_py = (mol := nddo_ref.NDDO(zs, pos)), None
+            e_py, conv_py = mol.scf()
+            if conv_py:
+                assert e_cpp == pytest.approx(e_py, abs=2e-9), (zs, pos)
+                n_converged += 1
+            else:
+                assert np.isnan(e_cpp), (zs, pos)
+        assert n_converged >= 4  # most random molecules do converge
+
+    def test_sulfur_sp_approximation(self):
+        """S runs through the sp-only PM6 approximation (documented: no d
+        shell) and agrees with the oracle."""
+        zs = [16, 1, 1]
+        pos = np.array([[0, 0, 0], [1.35, 0, 0], [-0.3, 1.3, 0]])
+        e_cpp = pm6_calc(['S', 'H', 'H'], pos).calculate_energy()
+        assert e_cpp == pytest.approx(nddo_ref.energy(zs, pos), abs=2e-9)
+        # bound vs atoms
+        e_s = pm6_calc(['S'], [(0, 0, 0)]).calculate_energy()
+        e_h = pm6_calc(['H'], [(0, 0, 0)]).calculate_energy()
+        assert e_cpp < e_s + 2 * e_h
+
+
+class TestInvariances:
+    def test_translation_rotation(self):
+        e0 = pm6_calc(['O', 'H', 'H'], H2O_POS).calculate_energy()
+        e1 = pm6_calc(['O', 'H', 'H'],
+                      H2O_POS + np.array([3.0, -2.0, 7.0])).calculate_energy()
+        rng = np.random.default_rng(3)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        e2 = pm6_calc(['O', 'H', 'H'], H2O_POS @ q.T).calculate_energy()
+        assert e1 == pytest.approx(e0, abs=1e-9)
+        assert e2 == pytest.approx(e0, abs=1e-8)
+
+    def test_atom_order_permutation(self):
+        perm = [2, 0, 1]
+        e0 = pm6_calc(['O', 'H', 'H'], H2O_POS).calculate_energy()
+        e1 = pm6_calc([['O', 'H', 'H'][i] for i in perm],
+                      H2O_POS[perm]).calculate_energy()
+        assert e1 == pytest.approx(e0, abs=1e-9)
+
+    def test_gradients_translationally_invariant(self):
+        calc = pm6_calc(['O', 'H', 'H'], H2O_POS)
+        grad = calc.calculate_gradients()
+        np.testing.assert_allclose(grad.sum(0), 0.0, atol=1e-6)
+
+
+class TestOverlapIntegrals:
+    """STO overlap machinery against closed-form values."""
+
+    def test_1s_1s_equal_zeta(self):
+        for z, r in [(1.0, 1.4), (1.3, 2.5)]:
+            p = z * r
+            expected = np.exp(-p) * (1 + p + p * p / 3)
+            got = nddo_ref.sto_overlap(1, 0, z, 1, 0, z, 0, r)
+            assert got == pytest.approx(expected, abs=1e-12)
+
+    def test_2p_pi_equal_zeta(self):
+        for z, r in [(1.7, 2.6), (2.27, 2.0)]:
+            p = z * r
+            expected = np.exp(-p) * (1 + p + 2 * p * p / 5 + p ** 3 / 15)
+            got = nddo_ref.sto_overlap(2, 1, z, 2, 1, z, 1, r)
+            assert got == pytest.approx(expected, abs=1e-12)
+
+    def test_s_pi_is_zero(self):
+        assert nddo_ref.sto_overlap(1, 0, 1.3, 2, 1, 2.3, 1, 2.0) == 0.0
+
+
+class TestMultipoleIntegrals:
+    def test_one_center_limits(self):
+        """Two-center ERIs approach the Klopman one-center values as R -> 0."""
+        par = nddo_ref.PM6_PARAMS[8]
+        m = nddo_ref.two_center_eri_local(par, par, 1e-9)
+        ev = nddo_ref.EV_PER_HARTREE
+        # (ss|ss) -> gss
+        assert m[0, 0] * ev == pytest.approx(par.gss, abs=1e-6)
+        # (sp_z|sp_z) -> hsp (dipole-dipole at R=0)
+        assert m[3, 3] * ev == pytest.approx(par.hsp, abs=1e-5)
+        # (p_x p_y|p_x p_y) -> hpp
+        hpp = 0.5 * (par.gpp - par.gp2)
+        assert m[7, 7] * ev == pytest.approx(hpp, abs=1e-5)
+
+    def test_long_range_monopole(self):
+        """(ss|ss) -> 1/R at long range (Hartree, bohr)."""
+        par = nddo_ref.PM6_PARAMS[1]
+        r = 60.0
+        m = nddo_ref.two_center_eri_local(par, par, r)
+        assert m[0, 0] == pytest.approx(1.0 / r, rel=1e-3)
+
+
+class TestRewardPipeline:
+    def test_batch_reward_matches_object_api(self):
+        batch = NativeBatchCalculator(method=METHOD_PM6)
+        zs = np.zeros((2, 4), np.int32)
+        pos = np.zeros((2, 4, 3))
+        zs[0, 0] = 1
+        zs[1, :2] = [8, 1]
+        pos[1, 1] = [0.96, 0, 0]
+        n_atoms = np.array([1, 2], np.int32)
+        new_z = np.array([1, 1], np.int32)
+        new_pos = np.array([[1.0, 0, 0], [-0.3, 0.9, 0]])
+        r = batch.batch_reward(zs, pos, n_atoms, new_z, new_pos,
+                               np.ones(2, np.uint8))
+        assert r[0] == pytest.approx(0.1696435, abs=1e-7)
+        obj = InteractionReward(backend='pm6')
+        r1, _ = obj.calculate(
+            Atoms(['O', 'H'], [[0, 0, 0], [0.96, 0, 0]]),
+            Atom('H', (-0.3, 0.9, 0)))
+        assert r[1] == pytest.approx(r1, abs=1e-6)
+
+    def test_unsupported_element_clamped(self):
+        """Elements without PM6 parameters yield the NaN->-1e6 clamp, which
+        the env's min_reward rule then terminates on."""
+        batch = NativeBatchCalculator(method=METHOD_PM6)
+        zs = np.array([[26, 0]], np.int32)  # Fe: unsupported
+        r = batch.batch_reward(zs, np.zeros((1, 2, 3)),
+                               np.array([1], np.int32),
+                               np.array([1], np.int32),
+                               np.array([[1.0, 0, 0]]), np.ones(1, np.uint8))
+        assert r[0] <= -1e5
+
+
+class TestMinimizerPM6:
+    def test_h2o_relaxes(self):
+        calc = pm6_calc(['O', 'H', 'H'], H2O_POS)
+        e_before = calc.calculate_energy()
+        atoms = Atoms(['O', 'H', 'H'], H2O_POS)
+        relaxed, success = minimize(calc, atoms)
+        calc.set_positions(relaxed.positions)
+        e_after = calc.calculate_energy()
+        assert success
+        assert e_after < e_before
+        # O-H bond lengths land near the PM6 equilibrium (~0.95 A)
+        d1 = np.linalg.norm(relaxed.positions[1] - relaxed.positions[0])
+        d2 = np.linalg.norm(relaxed.positions[2] - relaxed.positions[0])
+        assert 0.85 < d1 < 1.1 and 0.85 < d2 < 1.1
