@@ -47,6 +47,31 @@ def make_host_reward(batch_calculator, distance_penalty: float = 0.0) -> RewardF
     return reward_fn
 
 
+class TimedBatchCalculator:
+    """Wraps a batch calculator, accumulating wall time + call count.
+
+    Feeds the per-iteration `reward_time` train metric (reference parity: the
+    reference reports per-reward elapsed_time, molgym/reward.py:51-53). Works
+    for both reward transports since io_callback and the host loop both go
+    through batch_reward.
+    """
+
+    def __init__(self, inner) -> None:
+        self.inner = inner
+        self.total_time = 0.0
+        self.total_calls = 0
+
+    def batch_reward(self, *args, **kwargs):
+        start = time.perf_counter()
+        result = self.inner.batch_reward(*args, **kwargs)
+        self.total_time += time.perf_counter() - start
+        self.total_calls += 1
+        return result
+
+    def pool_stats(self):
+        return self.inner.pool_stats()
+
+
 # -- object API (host-side, reference molgym/reward.py parity) -------------------
 
 class MolecularReward:

@@ -65,7 +65,9 @@ class StepResult:
     observation: Observation
     reward: jnp.ndarray  # float32[B]
     done: jnp.ndarray  # bool[B]
-    elapsed_reward_time: jnp.ndarray  # float32[B] (host rewards report this)
+    # NOTE: reward wall time is tracked host-side (TimedBatchCalculator ->
+    # per-iteration `reward_time` in the train JSONL; reference parity for
+    # reward.py:51-53) — a per-step device-side field can't time host work.
 
 
 class MolecularEnv:
@@ -326,8 +328,7 @@ class MolecularEnv:
         new_states, rewards, dones = jax.vmap(update_one)(
             states, element_index, position, stop, valid, raw_reward)
         return StepResult(state=new_states, observation=new_states.observation(),
-                          reward=rewards, done=dones,
-                          elapsed_reward_time=jnp.zeros_like(rewards))
+                          reward=rewards, done=dones)
 
     def reset_if_terminal(self, states: EnvState,
                           dones: jnp.ndarray) -> Tuple[EnvState, Observation]:

@@ -8,6 +8,7 @@ through this class — it composes the pure functions directly inside
 """
 from __future__ import annotations
 
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -57,10 +58,14 @@ class VecEnv:
             element, position = actions.element, actions.position
         else:
             element, position = actions
+        start = time.perf_counter()
         result = self._step(self.states, jnp.asarray(element, jnp.int32),
                             jnp.asarray(position, jnp.float32))
+        result = jax.block_until_ready(result)
         self._states = result.state
-        info = {'elapsed_time': np.asarray(result.elapsed_reward_time)}
+        # wall time of the whole step incl. the reward (reference parity:
+        # the info dict's elapsed_time, molgym/reward.py:51-53)
+        info = {'elapsed_time': time.perf_counter() - start}
         return (result.observation, np.asarray(result.reward),
                 np.asarray(result.done), info)
 

@@ -28,7 +28,9 @@ import optax
 
 from molgym_tpu.envs.environment import MolecularEnv
 from molgym_tpu.rl.buffer import buffer_stats, compute_ppo_data, episode_stats
-from molgym_tpu.rl.rollout import make_host_loop_rollout_fn, make_rollout_fn
+from molgym_tpu.rl.rollout import (make_host_loop_rollout_fn,
+                                   make_pipelined_host_rollout_fn,
+                                   make_rollout_fn)
 
 
 class PPOConfig(NamedTuple):
@@ -196,6 +198,8 @@ def batch_ppo(
     mesh=None,
     host_loop_calculator=None,
     host_distance_penalty: float = 0.0,
+    host_loop_pipelined: bool = True,
+    host_reward_timer=None,
 ) -> Any:
     """Top-level PPO loop (reference batch_ppo, ppo.py:230-379): alternate
     jitted rollout and jitted multi-epoch update, with JSONL metrics, periodic
@@ -210,8 +214,12 @@ def batch_ppo(
 
     if host_loop_calculator is not None:
         # Host-orchestrated stepping: required on backends without
-        # io_callback support (rl/rollout.py make_host_loop_rollout_fn).
-        rollout_fn = make_host_loop_rollout_fn(
+        # io_callback support. The pipelined variant overlaps the host QM
+        # reward batch with the next policy forward, with an exact fixup
+        # (rl/rollout.py make_pipelined_host_rollout_fn).
+        make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
+                     else make_host_loop_rollout_fn)
+        rollout_fn = make_loop(
             envs, agent, host_loop_calculator, steps_per_env,
             deterministic=False, distance_penalty=host_distance_penalty)
     else:
@@ -224,7 +232,9 @@ def batch_ppo(
     if eval_envs is not None:
         eval_steps = num_eval_episodes * (eval_envs.canvas_size + 1)
         if host_loop_calculator is not None:
-            eval_rollout_fn = make_host_loop_rollout_fn(
+            make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
+                         else make_host_loop_rollout_fn)
+            eval_rollout_fn = make_loop(
                 eval_envs, agent, host_loop_calculator, eval_steps,
                 deterministic=True, distance_penalty=host_distance_penalty)
         else:
@@ -263,6 +273,9 @@ def batch_ppo(
 
         # -- training rollout
         t0 = time.time()
+        reward_t0 = (host_reward_timer.total_time
+                     if host_reward_timer is not None
+                     and hasattr(host_reward_timer, 'total_time') else None)
         rng, key = jax.random.split(rng)
         states, traj = rollout_fn(params, states, key)
         traj = jax.block_until_ready(traj)
@@ -270,6 +283,11 @@ def batch_ppo(
                                          np.asarray(traj.terminals), config.gamma)
         train_info = {
             'time': time.time() - t0,
+            # wall time spent inside the host reward evaluator this rollout
+            # (reference parity: per-reward elapsed_time, reward.py:51-53).
+            # Under the pipelined rollout this time overlaps device compute.
+            **({'reward_time': host_reward_timer.total_time - reward_t0}
+               if reward_t0 is not None else {}),
             'return_mean': float(np.mean(returns)) if returns else float('nan'),
             'return_std': float(np.std(returns)) if returns else float('nan'),
             'episode_length_mean': float(np.mean(lengths)) if lengths else float('nan'),

@@ -5,9 +5,27 @@ molgym/ppo.py:164-218): policy forward, env step, buffer store and auto-reset
 all live inside one `lax.scan` compiled once per (T, B) shape. The bootstrap
 value at the cutoff is the value head on the post-rollout observation
 (ppo.py:203-206).
+
+Three transports for the reward:
+  * make_rollout_fn           — reward inline in the scan (device reward or
+                                io_callback bridge)
+  * make_host_loop_rollout_fn — serial host-orchestrated loop (policy forward,
+                                host reward, state update strictly in order)
+  * make_pipelined_host_rollout_fn — host-orchestrated loop that OVERLAPS the
+                                host QM reward batch with the next policy
+                                forward (SURVEY §7 hard-part 3). Exactness:
+                                the next env state depends on the reward only
+                                through the `reward < min_reward` termination
+                                bit, so the next forward is computed
+                                speculatively under the no-low-reward
+                                assumption and recomputed (same RNG key) on
+                                the rare steps where a low-reward termination
+                                actually fired — trajectories are bitwise
+                                identical to the serial loop.
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Tuple
 
 import jax
@@ -109,6 +127,120 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
             val_seq.append(out.v)
             logp_seq.append(out.logp)
             states, obs = reset_if_terminal(result.state, result.done)
+
+        rng, key = jax.random.split(rng)
+        final_out = act(params, obs, key)
+
+        stack = lambda xs: jnp.stack(xs, axis=0)
+        obs_stacked = Observation(
+            elements=stack([o.elements for o in obs_seq]),
+            positions=stack([o.positions for o in obs_seq]),
+            bag=stack([o.bag for o in obs_seq]))
+        next_obs_stacked = Observation(
+            elements=stack([o.elements for o in next_obs_seq]),
+            positions=stack([o.positions for o in next_obs_seq]),
+            bag=stack([o.bag for o in next_obs_seq]))
+        traj = Trajectory(obs=obs_stacked, next_obs=next_obs_stacked,
+                          actions=stack(act_seq), rewards=stack(rew_seq),
+                          terminals=stack(term_seq), values=stack(val_seq),
+                          logps=stack(logp_seq),
+                          bootstrap_value=final_out.v)
+        return states, traj
+
+    return rollout
+
+
+def make_pipelined_host_rollout_fn(env: MolecularEnv, agent,
+                                   batch_calculator,
+                                   num_steps_per_env: int,
+                                   deterministic: bool = False,
+                                   distance_penalty: float = 0.0) -> Callable:
+    """Host rollout with the QM reward batch overlapped against the next
+    policy forward (see module docstring for the exactness argument).
+
+    Per step: submit the reward batch to a worker thread (the ctypes call
+    releases the GIL; the C++ pool fans out over cores), then enqueue the
+    speculative next-state update and the next policy forward on the device,
+    then join the reward and finalize. The device works while the host
+    computes; the critical path is max(forward, reward) instead of their sum.
+    A recompute (one extra forward, same RNG key) happens only on steps where
+    some env terminated via `reward < min_reward` — exact-parity fixup.
+    """
+    import numpy as np
+
+    from molgym_tpu.spaces import Observation
+
+    act = jax.jit(lambda p, o, k: agent.apply(p, o, k, deterministic,
+                                              method=agent.act))
+    reward_inputs = jax.jit(env.reward_inputs)
+    finalize_step = jax.jit(env.finalize_step)
+    reset_if_terminal = jax.jit(env.reset_if_terminal)
+    reset_all = jax.jit(lambda s: jax.vmap(env.reset)(s))
+
+    def speculative_advance(states, element, position, stop, valid):
+        # reward=0 never trips `reward < min_reward` (min_reward < 0), so this
+        # is exactly finalize+reset under the no-low-termination assumption —
+        # bitwise equal to the real next observation whenever no env went low.
+        result = env.finalize_step(states, element, position, stop, valid,
+                                   jnp.zeros_like(stop, jnp.float32))
+        return env.reset_if_terminal(result.state, result.done)
+
+    speculative_advance = jax.jit(speculative_advance)
+
+    executor = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix='mg_reward')
+
+    def compute_reward(zs_atomic, positions, n_atoms, new_z, new_pos, needs):
+        rewards = batch_calculator.batch_reward(zs_atomic, positions, n_atoms,
+                                                new_z, new_pos, needs)
+        if distance_penalty:
+            dist = np.linalg.norm(new_pos, axis=-1)
+            rewards = rewards - distance_penalty * dist * needs
+        return rewards
+
+    def rollout(params, states, rng):
+        states, obs = reset_all(states)
+        obs_seq, next_obs_seq, act_seq = [], [], []
+        rew_seq, term_seq, val_seq, logp_seq = [], [], [], []
+
+        rng, key = jax.random.split(rng)
+        out = act(params, obs, key)
+        for t in range(num_steps_per_env):
+            stop, valid, needs, zs_atomic, new_z = reward_inputs(
+                states, out.element, out.position)
+            # materialize host inputs, then hand off to the worker thread
+            needs_np = np.asarray(needs)
+            future = executor.submit(
+                compute_reward, np.asarray(zs_atomic),
+                np.asarray(states.positions, np.float64),
+                np.asarray(states.n_atoms), np.asarray(new_z),
+                np.asarray(out.position, np.float64), needs_np)
+            last = t + 1 == num_steps_per_env
+            if not last:
+                # speculative device work, overlapped with the host reward
+                prov_states, prov_obs = speculative_advance(
+                    states, out.element, out.position, stop, valid)
+                rng, next_key = jax.random.split(rng)
+                out_next = act(params, prov_obs, next_key)
+            rewards = future.result()
+            result = finalize_step(states, out.element, out.position, stop,
+                                   valid, jnp.asarray(rewards, jnp.float32))
+            obs_seq.append(obs)
+            next_obs_seq.append(result.observation)
+            act_seq.append(out.action_flat)
+            rew_seq.append(result.reward)
+            term_seq.append(result.done)
+            val_seq.append(out.v)
+            logp_seq.append(out.logp)
+            next_states, next_obs = reset_if_terminal(result.state, result.done)
+            if not last:
+                if bool(((rewards < env.min_reward) & (needs_np > 0)).any()):
+                    # a low-reward termination fired: the speculative forward
+                    # saw the wrong observation for those envs — recompute
+                    # with the SAME key (trajectory stays seeded-identical)
+                    out_next = act(params, next_obs, next_key)
+                out = out_next
+            states, obs = next_states, next_obs
 
         rng, key = jax.random.split(rng)
         final_out = act(params, obs, key)

@@ -76,10 +76,12 @@ def build_default_argparser() -> argparse.ArgumentParser:
                                  'device_lj', 'device_morse'])
     parser.add_argument('--host_reward_mode',
                         help='host reward transport: io_callback inside the '
-                             'rollout scan, a host-orchestrated step loop, or '
-                             'auto-detect backend support',
+                             'rollout scan, a host-orchestrated step loop '
+                             '(pipelined: QM rewards overlap the next policy '
+                             'forward; loop_serial forces the strict-order '
+                             'loop), or auto-detect backend support',
                         type=str, default='auto',
-                        choices=['auto', 'callback', 'loop'])
+                        choices=['auto', 'callback', 'loop', 'loop_serial'])
     parser.add_argument('--num_reward_threads',
                         help='host reward evaluator threads', type=int,
                         default=8)

@@ -88,6 +88,8 @@ def make_reward_fn(config: dict, solvation: bool = False
             'lj': METHOD_LJ, 'morse': METHOD_MORSE, 'eht': METHOD_EHT,
             'pm6': METHOD_PM6
         }[backend])
+    from molgym_tpu.calculators.reward_host import TimedBatchCalculator
+    calc = TimedBatchCalculator(calc)
     return make_host_reward(calc, distance_penalty=penalty), calc, penalty
 
 
@@ -152,10 +154,14 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
 
     host_loop_calc = None
     mode = config.get('host_reward_mode', 'auto')
+    pipelined = mode != 'loop_serial'
     if host_calc is not None:
-        if mode == 'loop' or (mode == 'auto' and not supports_host_callbacks()):
-            logging.info('Host rewards via host-loop rollout '
-                         '(backend lacks io_callback support or forced)')
+        if mode in ('loop', 'loop_serial') or (
+                mode == 'auto' and not supports_host_callbacks()):
+            logging.info(
+                'Host rewards via %s host-loop rollout (backend lacks '
+                'io_callback support or forced)',
+                'pipelined' if pipelined else 'serial')
             host_loop_calc = host_calc
 
     train_env, eval_env = env_builder(config, observation_space, reward_fn)
@@ -230,6 +236,8 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
                      if config.get('profile') else None),
         host_loop_calculator=host_loop_calc,
         host_distance_penalty=distance_penalty,
+        host_loop_pipelined=pipelined,
+        host_reward_timer=host_calc,
     )
     if host_calc is not None and hasattr(host_calc, 'pool_stats'):
         logging.info(f'Host reward pool stats: {host_calc.pool_stats()}')

@@ -74,3 +74,81 @@ class TestDriverProbes:
     def test_supports_host_callbacks_on_cpu(self):
         from molgym_tpu.tools.driver import supports_host_callbacks
         assert supports_host_callbacks()  # CPU backend supports io_callback
+
+
+class TestPipelinedRollout:
+    """The pipelined host rollout (QM reward overlapped with the next policy
+    forward) must be bitwise identical to the serial loop — including on
+    rollouts where the low-reward speculation fixup fires."""
+
+    def _run_pair(self, num_envs, num_steps, seed, epsilon):
+        from molgym_tpu.rl.rollout import make_pipelined_host_rollout_fn
+        calc = NativeBatchCalculator(method=METHOD_LJ, epsilon=epsilon)
+        env = build(make_host_reward(calc))
+        agent = make_mlp_internal_agent(num_zs=2, canvas_size=3,
+                                        network_width=16)
+        rng = jax.random.PRNGKey(seed)
+        states = env.init_states(rng, num_envs)
+        params = agent.init(rng, states.observation(), rng, method=agent.act)
+        roll_serial = make_host_loop_rollout_fn(env, agent, calc, num_steps)
+        roll_pipe = make_pipelined_host_rollout_fn(env, agent, calc, num_steps)
+        key = jax.random.PRNGKey(seed + 1)
+        _, t_serial = roll_serial(params, states, key)
+        _, t_pipe = roll_pipe(params, states, key)
+        return t_serial, t_pipe, env
+
+    def _assert_identical(self, t_serial, t_pipe):
+        for field in ('rewards', 'terminals', 'actions', 'logps', 'values',
+                      'bootstrap_value'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t_serial, field)),
+                np.asarray(getattr(t_pipe, field)), err_msg=field)
+        np.testing.assert_array_equal(np.asarray(t_serial.obs.positions),
+                                      np.asarray(t_pipe.obs.positions))
+        np.testing.assert_array_equal(np.asarray(t_serial.next_obs.elements),
+                                      np.asarray(t_pipe.next_obs.elements))
+
+    def test_bitwise_identical_to_serial(self):
+        t_serial, t_pipe, _ = self._run_pair(4, 8, seed=0, epsilon=0.15)
+        self._assert_identical(t_serial, t_pipe)
+
+    def test_identical_with_low_reward_fixup(self):
+        """A large epsilon makes the untrained policy trip the
+        reward < min_reward clamp, exercising the recompute path."""
+        t_serial, t_pipe, env = self._run_pair(6, 10, seed=2, epsilon=40.0)
+        rewards = np.asarray(t_serial.rewards)
+        # precondition: the clamp actually fired somewhere in this rollout
+        assert (rewards <= env.min_reward + 1e-6).any(), \
+            'fixture no longer exercises the low-reward fixup'
+        self._assert_identical(t_serial, t_pipe)
+
+    def test_solvation_penalty_pipelined(self):
+        from molgym_tpu.rl.rollout import make_pipelined_host_rollout_fn
+        calc = NativeBatchCalculator(method=METHOD_LJ, epsilon=0.15)
+        env = build(make_host_reward(calc))
+        agent = make_mlp_internal_agent(num_zs=2, canvas_size=3,
+                                        network_width=16)
+        rng = jax.random.PRNGKey(0)
+        states = env.init_states(rng, 4)
+        params = agent.init(rng, states.observation(), rng, method=agent.act)
+        key = jax.random.PRNGKey(3)
+        _, t_serial = make_host_loop_rollout_fn(
+            env, agent, calc, 3, distance_penalty=0.05)(params, states, key)
+        _, t_pipe = make_pipelined_host_rollout_fn(
+            env, agent, calc, 3, distance_penalty=0.05)(params, states, key)
+        np.testing.assert_array_equal(np.asarray(t_serial.rewards),
+                                      np.asarray(t_pipe.rewards))
+
+
+class TestTimedCalculator:
+    def test_accumulates_time_and_calls(self):
+        from molgym_tpu.calculators.reward_host import TimedBatchCalculator
+        calc = TimedBatchCalculator(
+            NativeBatchCalculator(method=METHOD_LJ, epsilon=0.15))
+        zs = np.array([[8, 0]], np.int32)
+        calc.batch_reward(zs, np.zeros((1, 2, 3)), np.array([1], np.int32),
+                          np.array([8], np.int32), np.array([[1.2, 0, 0]]),
+                          np.ones(1, np.uint8))
+        assert calc.total_calls == 1
+        assert calc.total_time > 0.0
+        assert calc.pool_stats()[0] >= 3
