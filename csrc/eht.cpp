@@ -233,11 +233,16 @@ inline double core_repulsion(double r_bohr, double r0_ang) {
   return A * std::exp(-(r_bohr - r0) / rho) * std::exp(-1.0 / 0.18);
 }
 
-// Total EHT energy (Hartree). zs: atomic numbers; pos in ANGSTROM.
-// Returns 0 for empty molecules; unsupported elements contribute only core
-// repulsion (graceful degradation).
-double total_energy(const int* zs, const double* pos_ang, int n_atoms) {
-  if (n_atoms <= 0) return 0.0;
+// Orbital solve: sorted MO energies (Hartree) into `ew`, plus the valence
+// electron count and core repulsion. Returns the orbital count (0 if no
+// parameterized AOs). Shared by total_energy and the mg_eht_orbitals export.
+int solve_orbitals(const int* zs, const double* pos_ang, int n_atoms,
+                   std::vector<double>& ew, int* n_electrons_out,
+                   double* e_rep_out) {
+  ew.clear();
+  *n_electrons_out = 0;
+  *e_rep_out = 0.0;
+  if (n_atoms <= 0) return 0;
 
   // Build AO list
   std::vector<AO> aos;
@@ -282,7 +287,9 @@ double total_energy(const int* zs, const double* pos_ang, int n_atoms) {
   }
 
   const int n = static_cast<int>(aos.size());
-  if (n == 0 || n_electrons == 0) return e_rep;
+  *n_electrons_out = n_electrons;
+  *e_rep_out = e_rep;
+  if (n == 0) return 0;
 
   // Overlap and Hamiltonian (normalized AOs)
   std::vector<double> S(n * n), Hm(n * n);
@@ -331,8 +338,20 @@ double total_energy(const int* zs, const double* pos_ang, int n_atoms) {
       for (int j = 0; j < n; ++j) Hp[i * n + j] += xki * T[k * n + j];
     }
 
-  std::vector<double> ew, EV;
+  std::vector<double> EV;
   jacobi_eigh(Hp, n, ew, EV);
+  return n;
+}
+
+// Total EHT energy (Hartree). zs: atomic numbers; pos in ANGSTROM.
+// Returns 0 for empty molecules; unsupported elements contribute only core
+// repulsion (graceful degradation).
+double total_energy(const int* zs, const double* pos_ang, int n_atoms) {
+  std::vector<double> ew;
+  int n_electrons = 0;
+  double e_rep = 0.0;
+  const int n = solve_orbitals(zs, pos_ang, n_atoms, ew, &n_electrons, &e_rep);
+  if (n == 0 || n_electrons == 0) return e_rep;
 
   // Aufbau filling of valence electrons
   double e_elec = 0.0;
@@ -350,5 +369,19 @@ double total_energy(const int* zs, const double* pos_ang, int n_atoms) {
 extern "C" {
 double mg_eht_energy(const int* zs, const double* positions, int n) {
   return eht::total_energy(zs, positions, n);
+}
+
+// Sorted MO energies in Hartree; returns the orbital count (clipped to
+// max_out entries written). n_electrons_out receives the valence electron
+// count (aufbau occupation: pairs from the bottom). For external-anchor
+// tests (orbital degeneracies, HOMO levels, Walsh-diagram trends).
+int mg_eht_orbitals(const int* zs, const double* positions, int n_atoms,
+                    double* eps_out, int max_out, int* n_electrons_out) {
+  std::vector<double> ew;
+  double e_rep = 0.0;
+  const int n = eht::solve_orbitals(zs, positions, n_atoms, ew,
+                                    n_electrons_out, &e_rep);
+  for (int i = 0; i < n && i < max_out; ++i) eps_out[i] = ew[i];
+  return n;
 }
 }

@@ -72,8 +72,25 @@ def load_library() -> ctypes.CDLL:
                                       ctypes.c_int, ctypes.c_int, c_dbl_p]
     lib.mg_nddo_supported.restype = ctypes.c_int
     lib.mg_nddo_supported.argtypes = [ctypes.c_int]
+    lib.mg_eht_orbitals.restype = ctypes.c_int
+    lib.mg_eht_orbitals.argtypes = [c_int_p, c_dbl_p, ctypes.c_int, c_dbl_p,
+                                    ctypes.c_int, c_int_p]
     _lib = lib
     return lib
+
+
+def eht_orbital_energies(zs, positions) -> Tuple[np.ndarray, int]:
+    """Sorted EHT MO energies (eV) + valence electron count — the orbital-
+    level surface used by external-anchor tests (degeneracies, Koopmans IPs)."""
+    lib = load_library()
+    zs = np.ascontiguousarray(zs, dtype=np.int32)
+    pos = np.ascontiguousarray(positions, dtype=np.float64)
+    eps = np.zeros(16 + 4 * len(zs), dtype=np.float64)
+    n_elec = ctypes.c_int()
+    n = lib.mg_eht_orbitals(_ptr(zs, ctypes.c_int), _ptr(pos, ctypes.c_double),
+                            len(zs), _ptr(eps, ctypes.c_double), len(eps),
+                            ctypes.byref(n_elec))
+    return eps[:n] * 27.211386, n_elec.value
 
 
 def _ptr(a: np.ndarray, ctype):

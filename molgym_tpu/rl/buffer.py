@@ -69,18 +69,34 @@ def episode_stats(rewards: np.ndarray, terminals: np.ndarray,
                   gamma: float) -> Tuple[List[float], List[int]]:
     """Episodic (discounted) returns and lengths for episodes that TERMINATE
     inside the rollout — the reference records returns only at terminals
-    (buffer_container.py:52-56); truncated episodes are excluded."""
+    (buffer_container.py:52-56); truncated episodes are excluded.
+
+    Vectorized with segment sums (no per-element Python loop): episodes are
+    the terminal-delimited segments of each env column; a segment's return is
+    sum_t gamma^(t - segment_start) * r_t over the segment. Output order
+    matches the loop formulation: env-major, then time.
+    """
+    rewards = np.asarray(rewards, dtype=np.float64)
+    terminals = np.asarray(terminals, dtype=bool)
     T, B = rewards.shape
-    returns: List[float] = []
-    lengths: List[int] = []
-    for b in range(B):
-        acc, disc, length = 0.0, 1.0, 0
-        for t in range(T):
-            acc += disc * float(rewards[t, b])
-            disc *= gamma
-            length += 1
-            if terminals[t, b]:
-                returns.append(acc)
-                lengths.append(length)
-                acc, disc, length = 0.0, 1.0, 0
-    return returns, lengths
+    if T == 0 or B == 0:
+        return [], []
+    t_idx = np.arange(T)[:, None]
+    # segment id within each column: exclusive cumulative terminal count
+    seg = np.zeros((T, B), dtype=np.int64)
+    seg[1:] = np.cumsum(terminals[:-1], axis=0)
+    # segment start row: last row at-or-before t that begins a segment
+    is_start = np.zeros((T, B), dtype=bool)
+    is_start[0] = True
+    is_start[1:] = terminals[:-1]
+    start_t = np.maximum.accumulate(np.where(is_start, t_idx, -1), axis=0)
+    contrib = rewards * np.power(gamma, t_idx - start_t)
+    # global segment id: env-major so bincount order matches the reference
+    gseg = (seg + np.arange(B)[None, :] * (T + 1)).ravel()
+    n_bins = B * (T + 1)
+    seg_return = np.bincount(gseg, weights=contrib.ravel(), minlength=n_bins)
+    seg_length = np.bincount(gseg, minlength=n_bins)
+    seg_done = np.bincount(gseg, weights=terminals.ravel(),
+                           minlength=n_bins) > 0
+    return (seg_return[seg_done].tolist(),
+            seg_length[seg_done].astype(int).tolist())

@@ -2,14 +2,10 @@
 streams from results/, aggregate mean±std over seeds per experiment, write
 `average_return.pdf`."""
 import argparse
-import os
 
 import matplotlib.pyplot as plt
-import pandas as pd
 
-from molgym_tpu.tools.analysis import (collect_results_paths,
-                                       parse_json_lines_file,
-                                       parse_results_filename)
+from molgym_tpu.tools.analysis import aggregate_over_seeds, load_metrics
 
 FIG_WIDTH, FIG_HEIGHT = 6.0, 4.0
 
@@ -25,26 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def load_frame(directory: str, mode: str) -> pd.DataFrame:
-    frames = []
-    for path in collect_results_paths(directory, mode=mode):
-        meta = parse_results_filename(os.path.basename(path))
-        rows = parse_json_lines_file(path)
-        frame = pd.DataFrame(rows)
-        frame['name'] = meta['name']
-        frame['seed'] = meta['seed']
-        frames.append(frame)
-    if not frames:
-        raise RuntimeError(f'No *_{mode}.txt results found in {directory!r}')
-    return pd.concat(frames, ignore_index=True)
-
-
 def main() -> None:
     args = build_parser().parse_args()
-    data = load_frame(args.dir, args.mode)
-
-    grouped = data.groupby(['name', 'total_num_steps'])['return_mean'].agg(
-        ['mean', 'std']).reset_index()
+    grouped = aggregate_over_seeds(load_metrics(args.dir, args.mode))
 
     fig, ax = plt.subplots(figsize=(FIG_WIDTH, FIG_HEIGHT),
                            constrained_layout=True)

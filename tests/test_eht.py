@@ -92,3 +92,51 @@ class TestEHTMinimizer:
         relaxed, success = minimize(calc, atoms, max_iter=200)
         d = np.linalg.norm(relaxed.positions[1] - relaxed.positions[0])
         assert 0.5 < d < 1.0
+
+
+class TestEHTExternalAnchors:
+    """Anchors against published values rather than self-consistency: the
+    Hoffmann VSIPs + K = 1.75 Wolfsberg-Helmholz construction has exact
+    consequences (two-level relation, symmetry degeneracies) and Koopmans
+    ionization potentials that must land near photoelectron data."""
+
+    def test_h2_wolfsberg_helmholz_relation(self):
+        """For a homonuclear 2-orbital problem, eps± = Hii (1 ± K S)/(1 ± S)
+        with Hii = -13.6 eV (Hoffmann H 1s VSIP) and K = 1.75: both
+        eigenvalues must imply the SAME overlap S in (0, 1)."""
+        from molgym_tpu.calculators.native import eht_orbital_energies
+        eps, n_elec = eht_orbital_energies([1, 1], [[0, 0, 0], [0.74, 0, 0]])
+        assert n_elec == 2 and len(eps) == 2
+        h_ii, k = -13.6, 1.75
+        s_bond = (eps[0] - h_ii) / (k * h_ii - eps[0])
+        s_anti = (eps[1] - h_ii) / (eps[1] - k * h_ii)
+        assert 0.0 < s_bond < 1.0
+        assert s_bond == pytest.approx(s_anti, abs=1e-6)
+        # bonding below Hii, antibonding above (and above |Hii| K S effect)
+        assert eps[0] < h_ii < eps[1]
+
+    def test_ch4_t2_degeneracy_and_koopmans(self):
+        """Tetrahedral methane: the HOMO is a triply degenerate t2 set; its
+        Koopmans IP must land near the photoelectron value (~14 eV; 2a1 at
+        ~23 eV) [Hoffmann JCP 39, 1397 (1963); PES: Potts & Price 1972]."""
+        from molgym_tpu.calculators.native import eht_orbital_energies
+        d = 1.09 / np.sqrt(3.0)
+        pos = [[0, 0, 0], [d, d, d], [d, -d, -d], [-d, d, -d], [-d, -d, d]]
+        eps, n_elec = eht_orbital_energies([6, 1, 1, 1, 1], pos)
+        assert n_elec == 8 and len(eps) == 8
+        # occupied: a1 + t2 (x3); t2 exactly degenerate by symmetry
+        assert eps[1] == pytest.approx(eps[2], abs=1e-6)
+        assert eps[2] == pytest.approx(eps[3], abs=1e-6)
+        assert eps[3] < eps[4] - 1.0  # HOMO-LUMO gap
+        assert -16.5 < eps[1] < -12.5   # 1t2 IP ~ 13.6-14.4 eV
+        assert -26.5 < eps[0] < -21.0   # 2a1 IP ~ 22.9 eV
+
+    def test_n2_homo_lumo_gap_and_ordering(self):
+        """N2 at its bond length: 10 valence electrons fill below a clear
+        HOMO-LUMO gap; Koopmans HOMO near the 15.6 eV photoelectron IP."""
+        from molgym_tpu.calculators.native import eht_orbital_energies
+        eps, n_elec = eht_orbital_energies([7, 7], [[0, 0, 0], [1.10, 0, 0]])
+        assert n_elec == 10
+        homo, lumo = eps[4], eps[5]
+        assert lumo - homo > 1.0
+        assert -19.0 < homo < -12.0

@@ -81,3 +81,67 @@ class TestDataParallelPPO:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
         assert float(np.asarray(i1['total_loss'])) == pytest.approx(
             float(np.asarray(i8['total_loss'])), abs=1e-4)
+
+
+class TestMultihost:
+    """2-process jax.distributed run on the CPU backend: initialization,
+    global device visibility, and a cross-process collective (the mechanism
+    --multihost relies on, tools/driver.py run_experiment)."""
+
+    def test_two_process_distributed_psum(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        with socket.socket() as s:  # free port for the coordinator
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+
+        worker = textwrap.dedent('''
+            import sys
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            proc = int(sys.argv[1])
+            jax.distributed.initialize(
+                coordinator_address=f'localhost:{int(sys.argv[2])}',
+                num_processes=2, process_id=proc)
+            assert jax.process_count() == 2, jax.process_count()
+            assert jax.process_index() == proc
+            devs = jax.devices()
+            n = len(devs)
+            assert n == 4, devs  # 2 local CPU devices per process
+            mesh = Mesh(np.array(devs), ('dp',))
+            sharding = NamedSharding(mesh, P('dp'))
+            # each process contributes its local shard; the jitted sum needs
+            # a cross-process all-reduce
+            x = jax.make_array_from_callback(
+                (n,), sharding, lambda idx: np.arange(n, dtype=np.float32)[idx])
+            total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+            assert float(total) == sum(range(n)), float(total)
+            print(f'RANK{proc}_OK')
+        ''')
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env.pop('JAX_NUM_PROCESSES', None)
+        # this image's sitecustomize registers/initializes the single-client
+        # TPU PJRT plugin at interpreter start when this var is set, which
+        # both races the tunnel and pre-initializes jax before
+        # jax.distributed can take effect — the workers must start clean
+        env.pop('PALLAS_AXON_POOL_IPS', None)
+        procs = [subprocess.Popen(
+            [sys.executable, '-c', worker, str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=str(tmp_path), text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'rank {i} failed:\n{out}'
+            assert f'RANK{i}_OK' in out

@@ -108,6 +108,40 @@ class TestEpisodeStats:
         assert returns == [1.5]
         assert lengths == [2]
 
+    def test_matches_loop_oracle(self):
+        """Vectorized segment-sum implementation vs the straightforward
+        per-element loop (the reference's buffer_container.py:52-56 shape)."""
+
+        def loop_oracle(rewards, terminals, gamma):
+            T, B = rewards.shape
+            returns, lengths = [], []
+            for b in range(B):
+                acc, disc, length = 0.0, 1.0, 0
+                for t in range(T):
+                    acc += disc * float(rewards[t, b])
+                    disc *= gamma
+                    length += 1
+                    if terminals[t, b]:
+                        returns.append(acc)
+                        lengths.append(length)
+                        acc, disc, length = 0.0, 1.0, 0
+            return returns, lengths
+
+        rng = np.random.default_rng(0)
+        for gamma in (1.0, 0.9):
+            for _ in range(5):
+                T, B = int(rng.integers(1, 12)), int(rng.integers(1, 6))
+                rewards = rng.normal(size=(T, B))
+                terminals = rng.random((T, B)) < 0.3
+                got_r, got_l = episode_stats(rewards, terminals, gamma)
+                exp_r, exp_l = loop_oracle(rewards, terminals, gamma)
+                np.testing.assert_allclose(got_r, exp_r, atol=1e-12)
+                assert got_l == exp_l
+
+    def test_empty(self):
+        returns, lengths = episode_stats(np.zeros((0, 3)), np.zeros((0, 3), bool), 1.0)
+        assert returns == [] and lengths == []
+
 
 class TestTrain:
     def test_update_changes_params_and_stops_on_kl(self):

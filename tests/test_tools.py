@@ -102,3 +102,37 @@ class TestQM9Parser:
         assert gdb_id == '1'
         assert atoms.symbols == ['C', 'H', 'H']
         assert meta['smiles'] == 'C'
+
+
+class TestAnalysisToolkit:
+    """The typed-artifact API (analysis.py rewrite) + seed aggregation."""
+
+    def test_iter_artifacts_filters(self, tmp_path):
+        from molgym_tpu.tools.analysis import iter_artifacts
+        (tmp_path / 'a_run-1_train.txt').write_text('{}\n')
+        (tmp_path / 'a_run-2_train.txt').write_text('{}\n')
+        (tmp_path / 'a_run-1_eval.txt').write_text('{}\n')
+        (tmp_path / 'a_run-1_steps-128_eval.pkl').write_text('')
+        (tmp_path / 'notes.md').write_text('')
+        train = list(iter_artifacts(str(tmp_path), mode='train', ext='txt'))
+        assert [a.seed for a in train] == [1, 2]
+        assert all(a.tag.startswith('a_run-') for a in train)
+        pkls = list(iter_artifacts(str(tmp_path), ext='pkl'))
+        assert len(pkls) == 1 and pkls[0].steps == 128
+
+    def test_load_and_aggregate(self, tmp_path):
+        import json
+
+        from molgym_tpu.tools.analysis import (aggregate_over_seeds,
+                                               load_metrics)
+        for seed, returns in [(1, [0.0, 1.0]), (2, [0.5, 1.5])]:
+            rows = [{'total_num_steps': 128 * (i + 1), 'return_mean': r}
+                    for i, r in enumerate(returns)]
+            (tmp_path / f'exp_run-{seed}_eval.txt').write_text(
+                '\n'.join(json.dumps(r) for r in rows))
+        frame = load_metrics(str(tmp_path), 'eval')
+        assert len(frame) == 4
+        agg = aggregate_over_seeds(frame)
+        assert list(agg['mean']) == [0.25, 1.25]
+        import numpy as _np
+        assert _np.allclose(agg['std'], [0.3535533906, 0.3535533906])
