@@ -263,6 +263,59 @@ class TestRewards:
         assert float(r[0]) == 0.0
 
 
+class TestScaffoldDriver:
+    def test_scaffold_env_builder(self, tmp_path):
+        """scripts/run_scaffold.py builds envs with the scaffold pre-placed,
+        a hull constraint, and reward over non-scaffold atoms only."""
+        from molgym_tpu.atoms import Atoms, write_xyz
+        from scripts.run_scaffold import scaffold_envs
+
+        cube = [(x, y, z) for x in (-3, 3.0) for y in (-3, 3.0)
+                for z in (-3, 3.0)]
+        scaffold = Atoms(['Ar'] * 8, positions=cube)
+        path = tmp_path / 'scaffold.xyz'
+        write_xyz(str(path), scaffold)
+
+        config = dict(scaffold=str(path), formulas='H2O', eval_formulas=None,
+                      min_atomic_distance=0.6, max_solo_distance=2.0,
+                      min_reward=-0.6)
+        space = ObservationSpace(canvas_size=12, zs=[0, 1, 8, 18])
+        train_env, eval_env = scaffold_envs(config, space,
+                                            make_lennard_jones_reward())
+        assert train_env.n_scaffold == 8
+        assert train_env.hull_a is not None
+
+        vec = VecEnv(train_env, num_envs=1)
+        obs = vec.reset()
+        assert int(np.sum(np.asarray(obs.elements) != 0)) == 8
+        # outside the hull -> invalid, min_reward, done
+        _, reward, done, _ = vec.step(
+            (np.array([2]), np.array([[5.0, 0, 0]], np.float32)))
+        assert done[0] and reward[0] == pytest.approx(-0.6)
+        # inside the hull, far from all scaffold atoms -> valid; reward sees
+        # only non-scaffold atoms (none yet), so first placement scores 0.
+        vec.reset()
+        _, reward, done, _ = vec.step(
+            (np.array([2]), np.array([[0.2, 0.1, 0.0]], np.float32)))
+        assert not done[0]
+        assert reward[0] == pytest.approx(0.0, abs=1e-6)
+
+    def test_scaffold_element_must_be_known(self, tmp_path):
+        from molgym_tpu.atoms import Atoms, write_xyz
+        from scripts.run_scaffold import scaffold_envs
+
+        scaffold = Atoms(['Kr'] * 4,
+                         positions=[(float(i), 0, 0) for i in range(4)])
+        path = tmp_path / 'scaffold.xyz'
+        write_xyz(str(path), scaffold)
+        config = dict(scaffold=str(path), formulas='H2O', eval_formulas=None,
+                      min_atomic_distance=0.6, max_solo_distance=2.0,
+                      min_reward=-0.6)
+        space = ObservationSpace(canvas_size=12, zs=[0, 1, 8, 18])
+        with pytest.raises(ValueError, match='must be listed'):
+            scaffold_envs(config, space, make_lennard_jones_reward())
+
+
 class TestVectorization:
     def test_batch_matches_loop(self):
         """A batch of envs stepped together must equal per-env stepping."""
