@@ -2,11 +2,27 @@
 covariant configuration (BASELINE.md: canvas 7, maxl 4, 3 CG levels, hidden
 10, 4 channels/element, minibatch 140, beta=-10).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 value        = our fwd+bwd milliseconds per minibatch (lower is better),
                measured on the default JAX device (TPU under the driver).
 vs_baseline  = baseline_ms / value  (>1 means faster than baseline).
+extra        = secondary metrics (each individually fault-tolerant and
+               deadline-guarded so the headline line always prints):
+               mfu_est_pct            MXU utilization estimate at batch 140
+                                      (HLO flops / time / 197 TFLOP/s v5e peak)
+               ms_batch_2240          fwd+bwd ms at 16x batch (saturation
+                                      probe: scaling curve vs dispatch bound)
+               mfu_est_pct_batch_2240
+               ms_bf16                batch-140 ms with --encoder_dtype
+                                      bfloat16
+               env_steps_per_sec_eht  SF6 training-rollout env-steps/s with
+                                      the native EHT quantum reward through
+                                      the PIPELINED host-loop transport
+               env_steps_per_sec_eht_serial
+                                      same through the serial host loop (the
+                                      round-1 transport; the ratio is the
+                                      pipelining speedup)
 
 Baseline methodology: the reference stack (torch + cormorant + schnetpack +
 torch-scatter) is not installable here and publishes no numbers (BASELINE.md),
@@ -43,13 +59,13 @@ def log(*args):
 # Ours (JAX)
 # ---------------------------------------------------------------------------
 
-def make_batch(rng_seed=0):
+def make_batch(rng_seed=0, batch=BATCH):
     rng = np.random.RandomState(rng_seed)
-    n_atoms = rng.randint(1, CANVAS + 1, size=BATCH)
-    elements = np.zeros((BATCH, CANVAS), np.int32)
-    positions = np.zeros((BATCH, CANVAS, 3), np.float32)
-    bag = np.zeros((BATCH, len(ZS)), np.int32)
-    for b in range(BATCH):
+    n_atoms = rng.randint(1, CANVAS + 1, size=batch)
+    elements = np.zeros((batch, CANVAS), np.int32)
+    positions = np.zeros((batch, CANVAS, 3), np.float32)
+    bag = np.zeros((batch, len(ZS)), np.int32)
+    for b in range(batch):
         elements[b, :n_atoms[b]] = rng.randint(1, len(ZS), size=n_atoms[b])
         positions[b, :n_atoms[b]] = rng.randn(n_atoms[b], 3) * 1.2
         bag[b, 1] = rng.randint(1, 6)
@@ -67,46 +83,168 @@ def _enable_compile_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def bench_ours(iters=30):
+def make_agent(encoder_dtype=None):
+    from molgym_tpu.agents.covariant import CovariantAC
+    return CovariantAC(zs=ZS, canvas_size=CANVAS, network_width=WIDTH,
+                       maxl=MAXL, num_cg_levels=NUM_LEVELS,
+                       num_channels_hidden=HIDDEN,
+                       num_channels_per_element=CPE, num_gaussians=3,
+                       bag_scale=5, min_max_distance=(1.10, 2.10), beta=-10.0,
+                       encoder_dtype=encoder_dtype)
+
+
+def build_grad_fn(batch=BATCH, encoder_dtype=None):
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache()
-
-    from molgym_tpu.agents.covariant import CovariantAC
     from molgym_tpu.spaces import Observation
 
-    agent = CovariantAC(zs=ZS, canvas_size=CANVAS, network_width=WIDTH,
-                        maxl=MAXL, num_cg_levels=NUM_LEVELS,
-                        num_channels_hidden=HIDDEN,
-                        num_channels_per_element=CPE, num_gaussians=3,
-                        bag_scale=5, min_max_distance=(1.10, 2.10), beta=-10.0)
-    elements, positions, bag = make_batch()
-    obs = Observation(elements=jnp.asarray(elements),
-                      positions=jnp.asarray(positions), bag=jnp.asarray(bag))
-    rng = jax.random.PRNGKey(0)
-    params = agent.init(rng, obs, rng, method=agent.act)
-    actions = agent.apply(params, obs, rng, False, method=agent.act).action_flat
+    agent = make_agent(encoder_dtype)
+    elements, positions, bag = make_batch(batch=batch)
+    # init + action generation on host CPU: only the grad program pays the
+    # (multi-minute, tunneled) TPU compile.
+    with jax.default_device(jax.devices('cpu')[0]):
+        obs_cpu = Observation(elements=jnp.asarray(elements),
+                              positions=jnp.asarray(positions),
+                              bag=jnp.asarray(bag))
+        rng = jax.random.PRNGKey(0)
+        params = agent.init(rng, obs_cpu, rng, method=agent.act)
+        actions = agent.apply(params, obs_cpu, rng, False,
+                              method=agent.act).action_flat
+    dev = jax.devices()[0]
+    obs = jax.device_put(obs_cpu, dev)
+    params = jax.device_put(params, dev)
+    actions = jax.device_put(actions, dev)
 
     def loss_fn(p):
         logp, ent, v = agent.apply(p, obs, actions, method=agent.evaluate)
         # PPO-shaped scalar: policy + value + entropy terms all contribute
         return jnp.mean(logp) + 0.5 * jnp.mean(jnp.square(v)) + 0.01 * jnp.mean(ent)
 
-    grad_fn = jax.jit(jax.grad(loss_fn))
+    return jax.jit(jax.grad(loss_fn)), params
+
+
+def time_grad(grad_fn, params, iters=30):
+    import jax
     g = grad_fn(params)
     jax.block_until_ready(g)  # compile + warmup
     g = grad_fn(params)
     jax.block_until_ready(g)
-
     start = time.perf_counter()
     for _ in range(iters):
         g = grad_fn(params)
     jax.block_until_ready(g)
-    ms = (time.perf_counter() - start) / iters * 1000.0
-    import jax as _jax
-    log(f'ours: {ms:.2f} ms/minibatch on {_jax.devices()[0]}')
-    return ms
+    return (time.perf_counter() - start) / iters * 1000.0
+
+
+def hlo_flops(grad_fn, params):
+    """Host-side HLO flop count (pre-optimization); lowered for CPU because
+    the tunneled TPU plugin returns None from cost_analysis."""
+    import jax
+    ca = grad_fn.lower(params).cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    if ca is None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+        with jax.default_device(jax.devices('cpu')[0]):
+            ca = grad_fn.lower(abstract).cost_analysis() or {}
+    return float(ca.get('flops', 0.0))
+
+
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (XLA multiplies f32 in bf16 passes)
+
+
+def bench_ours(iters=30):
+    import jax
+
+    _enable_compile_cache()
+    grad_fn, params = build_grad_fn()
+    ms = time_grad(grad_fn, params, iters)
+    log(f'ours: {ms:.2f} ms/minibatch on {jax.devices()[0]}')
+    return ms, grad_fn, params
+
+
+def bench_env_steps_eht(pipelined: bool, reps: int = 3):
+    """SF6 training-rollout throughput (env-steps/s) with the native EHT
+    quantum reward through the host-loop transport (the configuration of
+    experiments/sf6_eht: 10 envs, 140 steps per iteration)."""
+    import jax
+    import numpy as np_
+
+    from molgym_tpu.calculators.native import METHOD_EHT, NativeBatchCalculator
+    from molgym_tpu.envs.environment import MolecularEnv
+    from molgym_tpu.envs.reward import make_lennard_jones_reward
+    from molgym_tpu.formula import string_to_formula
+    from molgym_tpu.rl.rollout import (make_host_loop_rollout_fn,
+                                       make_pipelined_host_rollout_fn)
+    from molgym_tpu.spaces import ObservationSpace
+
+    num_envs, steps_per_env = 10, 14  # 140 env steps per iteration
+    space = ObservationSpace(canvas_size=CANVAS, zs=list(ZS))
+    env = MolecularEnv(
+        reward_fn=make_lennard_jones_reward(),  # unused by host-loop path
+        observation_space=space,
+        formulas=np_.stack([space.bag_from_formula(string_to_formula('SF6'))]))
+    agent = make_agent()
+    calc = NativeBatchCalculator(method=METHOD_EHT)
+
+    make = (make_pipelined_host_rollout_fn if pipelined
+            else make_host_loop_rollout_fn)
+    rollout = make(env, agent, calc, steps_per_env)
+
+    rng = jax.random.PRNGKey(0)
+    states = env.init_states(rng, num_envs)
+    params = agent.init(rng, states.observation(), rng, method=agent.act)
+
+    _, traj = rollout(params, states, rng)  # compile + warmup
+    jax.block_until_ready(traj.rewards)
+    best = float('inf')
+    for _ in range(reps):
+        start = time.perf_counter()
+        _, traj = rollout(params, states, rng)
+        jax.block_until_ready(traj.rewards)
+        best = min(best, time.perf_counter() - start)
+    sps = num_envs * steps_per_env / best
+    log(f'eht env-steps/s ({"pipelined" if pipelined else "serial"}): {sps:.1f}')
+    return sps
+
+
+def collect_extras(grad_fn140, params140, ms140, deadline):
+    """Secondary metrics; each guarded so the headline always prints."""
+    extras = {}
+
+    def guard(name, fn):
+        if time.time() > deadline:
+            log(f'extra {name}: skipped (deadline)')
+            return
+        try:
+            extras[name] = fn()
+        except Exception as exc:
+            log(f'extra {name} failed: {exc!r}')
+
+    def mfu140():
+        flops = hlo_flops(grad_fn140, params140)
+        return round(flops / (ms140 / 1e3) / PEAK_FLOPS * 100, 4)
+
+    def batch_2240():
+        grad_fn, params = build_grad_fn(batch=2240)
+        ms = time_grad(grad_fn, params, iters=10)
+        extras['mfu_est_pct_batch_2240'] = round(
+            hlo_flops(grad_fn, params) / (ms / 1e3) / PEAK_FLOPS * 100, 4)
+        return round(ms, 3)
+
+    def bf16():
+        grad_fn, params = build_grad_fn(encoder_dtype='bfloat16')
+        return round(time_grad(grad_fn, params), 3)
+
+    guard('mfu_est_pct', mfu140)
+    guard('ms_batch_2240', batch_2240)
+    guard('ms_bf16', bf16)
+    guard('env_steps_per_sec_eht', lambda: round(bench_env_steps_eht(True), 1))
+    guard('env_steps_per_sec_eht_serial',
+          lambda: round(bench_env_steps_eht(False), 1))
+    return extras
 
 
 # ---------------------------------------------------------------------------
@@ -257,12 +395,16 @@ def bench_torch_baseline(iters=3):
 
 
 def main():
-    ours_ms = bench_ours()
+    deadline = time.time() + float(
+        __import__('os').environ.get('MOLGYM_BENCH_BUDGET_S', 2400))
+    ours_ms, grad_fn, params = bench_ours()
     try:
         baseline_ms = bench_torch_baseline()
     except Exception as exc:  # baseline must never break the bench line
         log(f'torch baseline failed: {exc!r}')
         baseline_ms = float('nan')
+
+    extras = collect_extras(grad_fn, params, ours_ms, deadline)
 
     vs_baseline = (baseline_ms / ours_ms) if np.isfinite(baseline_ms) else 0.0
     print(json.dumps({
@@ -270,6 +412,7 @@ def main():
         'value': round(ours_ms, 3),
         'unit': 'ms',
         'vs_baseline': round(vs_baseline, 3),
+        'extra': extras,
     }))
 
 

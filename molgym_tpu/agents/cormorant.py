@@ -21,16 +21,24 @@ Design notes (TPU-first, not a translation):
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from molgym_tpu.ops.cg import cg_aggregate, cg_product
+from molgym_tpu.ops.cg import (cg_aggregate, cg_aggregate_packed, cg_product,
+                               cg_product_packed, m_slices, pack_so3,
+                               unpack_so3)
 from molgym_tpu.ops.sph import spherical_harmonics_rel
 
 SO3Vec = List[jnp.ndarray]
+
+
+def _as_dtype(name):
+    """Normalize an optional dtype name ('bfloat16', 'float32', None) to a
+    numpy dtype for flax/jnp APIs; None means default (float32)."""
+    return None if name is None else jnp.dtype(name)
 
 
 class ComplexLinear(nn.Module):
@@ -97,6 +105,121 @@ class RadialFilters(nn.Module):
         return out
 
 
+class PackedCatMix(nn.Module):
+    """Equivariant per-l channel mixing over a list of packed reps — the
+    packed-form equivalent of concat-along-tau + per-l ComplexLinear
+    (cormorant CatMixReps). Each source arrives as (array, slices):
+      * M-form  [..., tau, M, 2] with slices = m_slices(n_ells, maxl)
+      * K-form  [..., tau, K, 2] straight out of cg_*_packed with its slices.
+    Within an l block of a K-form rep the channel order is pair-major
+    ((pair, tau) flattened), matching the unpacked loop semantics; the mix
+    weight is therefore kept as [n_pairs, tau, tau_out] per (l, source).
+    Output: M-form [..., tau_out, M, 2].
+    """
+    maxl: int
+    tau_out: int
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, reps) -> jnp.ndarray:
+        parts = []
+        for l in range(self.maxl + 1):
+            width_m = 2 * l + 1
+            total_c = sum(sl[l][1] * arr.shape[-3] for arr, sl in reps)
+            scale = self.gain / np.sqrt(2.0 * max(total_c, 1))
+            out_r = out_i = None
+            for s, (arr, sl) in enumerate(reps):
+                off, pairs = sl[l]
+                if pairs == 0:
+                    continue
+                tau = arr.shape[-3]
+                blk = arr[..., off:off + pairs * width_m, :]
+                blk = blk.reshape(blk.shape[:-2] + (pairs, width_m, 2))
+                w_r = self.param(f'w_r_l{l}_s{s}', nn.initializers.normal(scale),
+                                 (pairs, tau, self.tau_out)).astype(blk.dtype)
+                w_i = self.param(f'w_i_l{l}_s{s}', nn.initializers.normal(scale),
+                                 (pairs, tau, self.tau_out)).astype(blk.dtype)
+                xr, xi = blk[..., 0], blk[..., 1]
+                r = (jnp.einsum('...tpm,pts->...sm', xr, w_r) -
+                     jnp.einsum('...tpm,pts->...sm', xi, w_i))
+                i = (jnp.einsum('...tpm,pts->...sm', xr, w_i) +
+                     jnp.einsum('...tpm,pts->...sm', xi, w_r))
+                out_r = r if out_r is None else out_r + r
+                out_i = i if out_i is None else out_i + i
+            parts.append(jnp.stack([out_r, out_i], axis=-1))
+        return jnp.concatenate(parts, axis=-2)
+
+
+class RadialFiltersStacked(nn.Module):
+    """RadialFilters with the per-l outputs stacked on a trailing axis
+    ([B, N, N, tau, maxl+1]) for the packed CG level. Same parameters
+    (per-l Dense from a shared RBF basis) and same gating as RadialFilters."""
+    maxl: int
+    tau: int
+    n_basis: int = 16
+    hard_cut: float = 2.1
+    soft_cut: float = 2.1
+    soft_width: float = 0.2
+    compute_dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, norms: jnp.ndarray, edge_mask: jnp.ndarray) -> jnp.ndarray:
+        # RBF/gate in f32 (distances need the precision), features cast after.
+        centers = jnp.linspace(0.0, self.hard_cut, self.n_basis)
+        width = centers[1] - centers[0]
+        gamma = 0.5 / (width * width)
+        rbf = jnp.exp(-gamma * jnp.square(norms[..., None] - centers))
+
+        soft = nn.sigmoid((self.soft_cut - norms) / self.soft_width)
+        gate = (edge_mask.astype(norms.dtype) * soft *
+                (norms < self.hard_cut).astype(norms.dtype))
+
+        feats = [nn.Dense(self.tau, name=f'rad_l{l}',
+                          dtype=_as_dtype(self.compute_dtype))(rbf)
+                 for l in range(self.maxl + 1)]
+        out = jnp.stack(feats, axis=-1) * gate[..., None, None].astype(
+            feats[0].dtype)
+        return out
+
+
+class CGLevelPacked(nn.Module):
+    """One covariant message-passing level on packed reps — identical math to
+    CGLevel (edge reps CG-aggregated over neighbors, mixed, CG-squared, then
+    concat-mixed with the identity path) but without per-l concatenates or
+    unpack transposes on the B x N^2-sized tensors. TPU profiling showed
+    those data-formatting ops dominating the einsum path (experiments/perf/).
+    """
+    maxl: int
+    tau_out: int
+    atom_n_ells: int  # number of l blocks the incoming atom rep carries
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, atom_packed: jnp.ndarray, sph_packed: jnp.ndarray,
+                 rad_feats: jnp.ndarray, atom_mask: jnp.ndarray) -> jnp.ndarray:
+        # atom_packed [B, N, tau, M_atom, 2]; sph_packed [B, N, N, M, 2];
+        # rad_feats [B, N, N, tau, maxl+1] (gated).
+        n_ells = self.maxl + 1
+        reps = np.array([2 * l + 1 for l in range(n_ells)])
+        rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,
+                           total_repeat_length=int(reps.sum()))
+        # edge rep, built in one op: [B, N, N, tau, M, 2]
+        edge = rad_m[..., None] * sph_packed[..., None, :, :]
+
+        ag_k, ag_slices = cg_aggregate_packed(edge, atom_packed, n_ells,
+                                              self.atom_n_ells, self.maxl)
+        ag = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=1.0,
+                          name='ag_mix')([(ag_k, ag_slices)])
+        sq_k, sq_slices = cg_product_packed(ag, ag, n_ells, n_ells, self.maxl)
+        mm = m_slices(n_ells, self.maxl)
+        out = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
+                           name='cat_mix')([
+                               (ag, mm), (sq_k, sq_slices),
+                               (atom_packed, m_slices(self.atom_n_ells, self.maxl))])
+        mask = atom_mask[..., None, None, None].astype(out.dtype)
+        return out * mask
+
+
 class CGLevel(nn.Module):
     """One covariant message-passing level: edge (radial x Y_lm) reps CG-
     aggregated over neighbors, CG-squared, then concat-mixed with the identity
@@ -152,6 +275,11 @@ class CormorantEncoder(nn.Module):
     soft_cut: float = 2.1
     soft_width: float = 0.2
     level_gain: float = 1.0
+    # 'bfloat16' halves the HBM traffic of the CG stack (profiling shows the
+    # fwd+bwd step is bandwidth/layout-bound, experiments/perf/); geometry
+    # (positions -> norms/SH) stays f32, and the output covariants are cast
+    # back to f32 so heads and equivariance-sensitive consumers are unchanged.
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, elements: jnp.ndarray, positions: jnp.ndarray,
@@ -174,29 +302,38 @@ class CormorantEncoder(nn.Module):
             (B, N, bag.shape[-1]))
         scalars = jnp.concatenate([charge_feats, bag_tiled], axis=-1)
 
+        dtype = _as_dtype(self.compute_dtype) or jnp.float32
         tau0 = self.num_channels_hidden
-        x0 = nn.Dense(tau0, name='input_linear')(scalars)  # [B, N, tau0]
+        x0 = nn.Dense(tau0, name='input_linear',
+                      dtype=_as_dtype(self.compute_dtype))(scalars)  # [B, N, tau0]
         zeros = jnp.zeros_like(x0)
         # l=0 rep: [B, N, tau0, 1, 2] (m axis singleton, imag part zero)
         rep0 = jnp.stack([x0, zeros], axis=-1)[..., None, :]
-        atom_rep: SO3Vec = [rep0 * atom_mask[..., None, None, None]]
+        atom_packed = rep0 * atom_mask[..., None, None, None]
+        atom_n_ells = 1
 
-        # per l: [B, N, N, 2l+1, 2]
+        # per l: [B, N, N, 2l+1, 2]; computed in f32, packed once for all
+        # levels, then cast to the compute dtype.
         sph, norms = spherical_harmonics_rel(self.maxl, positions, positions,
                                              conj=True)
+        sph_packed = pack_so3(sph).astype(dtype)
 
         channels = [self.num_channels_hidden] * (self.num_cg_levels - 1) + \
             [self.num_channels_out]
         for level, tau_out in enumerate(channels):
-            rad = RadialFilters(maxl=self.maxl, tau=atom_rep[0].shape[-3],
-                                hard_cut=self.hard_cut, soft_cut=self.soft_cut,
-                                soft_width=self.soft_width,
-                                name=f'radial_{level}')(norms, edge_mask)
-            atom_rep = CGLevel(maxl=self.maxl, tau_out=tau_out,
-                               gain=self.level_gain,
-                               name=f'cg_level_{level}')(
-                                   atom_rep, sph, rad, atom_mask)
-        return atom_rep
+            rad = RadialFiltersStacked(
+                maxl=self.maxl, tau=atom_packed.shape[-3],
+                hard_cut=self.hard_cut, soft_cut=self.soft_cut,
+                soft_width=self.soft_width, compute_dtype=self.compute_dtype,
+                name=f'radial_{level}')(norms, edge_mask)
+            atom_packed = CGLevelPacked(maxl=self.maxl, tau_out=tau_out,
+                                        atom_n_ells=atom_n_ells,
+                                        gain=self.level_gain,
+                                        name=f'cg_level_{level}')(
+                                            atom_packed, sph_packed, rad,
+                                            atom_mask)
+            atom_n_ells = self.maxl + 1
+        return unpack_so3(atom_packed.astype(jnp.float32), self.maxl + 1)
 
 
 class CormorantMixer(nn.Module):

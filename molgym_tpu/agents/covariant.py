@@ -54,6 +54,9 @@ class CovariantAC(nn.Module):
     bag_scale: int = 5
     min_max_distance: Tuple[float, float] = (0.9, 1.8)
     beta: Optional[float] = None
+    # 'bfloat16' runs the Cormorant CG stack in bf16 (outputs cast back to
+    # f32 before the heads); halves the encoder's HBM traffic on TPU.
+    encoder_dtype: Optional[str] = None
 
     @property
     def num_subactions(self) -> int:
@@ -68,7 +71,8 @@ class CovariantAC(nn.Module):
             num_channels_out=self.num_channels_out,
             charge_scale=float(max(self.zs)), bag_scale=float(self.bag_scale),
             hard_cut=min(self.min_max_distance[1], 2.1),
-            soft_cut=min(self.min_max_distance[1], 2.1))
+            soft_cut=min(self.min_max_distance[1], 2.1),
+            compute_dtype=self.encoder_dtype)
         self.cg_mix = CormorantMixer(maxl=self.maxl,
                                      tau_out=self.num_channels_per_element)
 

@@ -180,17 +180,73 @@ def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
     concatenates, along tau, the (l1, l2) pairs with
     |l1-l2| <= l <= min(l1+l2, maxl)."""
     rep1, rep2, _tau = _broadcast_taus(rep1, rep2)
-    table_np, slices = _fused_cg_table(len(rep1), len(rep2), maxl)
-    a = _pack_m(rep1)
-    b = _pack_m(rep2)
+    out, slices = cg_product_packed(_pack_m(rep1), _pack_m(rep2),
+                                    len(rep1), len(rep2), maxl)
+    return _unpack_out(out, slices, maxl)
+
+
+# ---------------------------------------------------------------------------
+# Packed-form API. A packed SO3 rep keeps all l blocks concatenated along one
+# m axis ([..., tau, M, 2], M = sum_l (2l+1), uniform tau across l). The CG
+# level can then run end-to-end without per-l concatenates or the
+# tau<->pair unpack transposes on its largest (B x N^2-sized) tensors —
+# those data-formatting copies were ~35% of the round-1 fwd+bwd step time
+# on TPU (experiments/perf/).
+# ---------------------------------------------------------------------------
+
+def pack_so3(rep: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Per-l SO3Vec -> packed [..., tau, M, 2]."""
+    return _pack_m(list(rep))
+
+
+def unpack_so3(packed: jnp.ndarray, n_ells: int) -> List[jnp.ndarray]:
+    """Packed [..., tau, M, 2] -> per-l list (pure slices, no transposes)."""
+    outs, off = [], 0
+    for l in range(n_ells):
+        outs.append(packed[..., off:off + 2 * l + 1, :])
+        off += 2 * l + 1
+    return outs
+
+
+def m_slices(n_ells: int, maxl: int) -> Tuple[Tuple[int, int], ...]:
+    """Slice table of an M-form packed rep in the (offset, n_pairs) format of
+    the fused-product tables: one 'pair' per l the rep carries, zero after."""
+    out, off = [], 0
+    for l in range(maxl + 1):
+        if l < n_ells:
+            out.append((off, 1))
+            off += 2 * l + 1
+        else:
+            out.append((off, 0))
+    return tuple(out)
+
+
+def cg_product_packed(a: jnp.ndarray, b: jnp.ndarray, n_ells1: int,
+                      n_ells2: int, maxl: int):
+    """CG product of two packed reps; returns (packed_out [..., tau, K, 2],
+    slices) with K-blocks grouped by output l, (l1, l2) pairs in loop order."""
+    table_np, slices = _fused_cg_table(n_ells1, n_ells2, maxl)
     if _CG_BACKEND.startswith('pallas'):
         from molgym_tpu.ops.pallas_cg import cg_contract_pallas
         out = cg_contract_pallas(a, b, jnp.asarray(table_np),
                                  interpret=_CG_BACKEND == 'pallas_interpret')
     else:
-        out = _complex_contract(a, b, jnp.asarray(table_np),
+        # table in the operand dtype: under a bf16 compute path a f32 table
+        # would promote every contraction back to f32.
+        out = _complex_contract(a, b, jnp.asarray(table_np, dtype=a.dtype),
                                 '...tm,...tn,mnk->...tk')
-    return _unpack_out(out, slices, maxl)
+    return out, slices
+
+
+def cg_aggregate_packed(edge: jnp.ndarray, atom: jnp.ndarray, n_ells_edge: int,
+                        n_ells_atom: int, maxl: int):
+    """Neighborhood-aggregating CG product on packed reps:
+    edge [..., i, j, tau, M1, 2] x atom [..., j, tau, M2, 2]
+    -> (out [..., i, tau, K, 2], slices); out_i = sum_j edge_ij (x)_CG atom_j."""
+    table_np, slices = _fused_cg_table(n_ells_edge, n_ells_atom, maxl)
+    out = _complex_contract(edge, atom, jnp.asarray(table_np, dtype=edge.dtype),
+                            '...ijtm,...jtn,mnk->...itk')
+    return out, slices
 
 
 def cg_aggregate(edge_rep: Sequence[jnp.ndarray], atom_rep: Sequence[jnp.ndarray],
@@ -205,11 +261,8 @@ def cg_aggregate(edge_rep: Sequence[jnp.ndarray], atom_rep: Sequence[jnp.ndarray
     edge_rep, atom_rep, _tau = _broadcast_taus(edge_rep, atom_rep)
     # note argument order: the fused table is built as (edge l2, atom l1) to
     # match the loop implementation's cg_table(l2, l1, l) usage.
-    table_np, slices = _fused_cg_table(len(edge_rep), len(atom_rep), maxl)
-    e = _pack_m(edge_rep)
-    a = _pack_m(atom_rep)
-    out = _complex_contract(e, a, jnp.asarray(table_np),
-                            '...ijtm,...jtn,mnk->...itk')
+    out, slices = cg_aggregate_packed(_pack_m(edge_rep), _pack_m(atom_rep),
+                                      len(edge_rep), len(atom_rep), maxl)
     return _unpack_out(out, slices, maxl)
 
 

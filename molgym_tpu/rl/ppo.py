@@ -230,6 +230,13 @@ def batch_ppo(
 
     eval_rollout_fn = None
     if eval_envs is not None:
+        # Static-shape equivalent of the reference's "roll until num_episodes
+        # episodes finish" eval loop (reference ppo.py:164-218): every episode
+        # terminates within canvas_size + 1 steps by construction (each step
+        # either places an atom — at most canvas_size of them — or terminates
+        # the episode), so a scan of this many steps with auto-reset always
+        # completes at least num_eval_episodes episodes, of which the first
+        # num_eval_episodes are kept (asserted below at use).
         eval_steps = num_eval_episodes * (eval_envs.canvas_size + 1)
         if host_loop_calculator is not None:
             make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
@@ -335,6 +342,10 @@ def batch_ppo(
             e_returns, e_lengths = episode_stats(
                 np.asarray(eval_traj.rewards), np.asarray(eval_traj.terminals),
                 config.gamma)
+            assert len(e_returns) >= num_eval_episodes, (
+                f'eval scan of {eval_steps} steps completed only '
+                f'{len(e_returns)} episodes — the canvas_size+1 episode-length '
+                f'bound was violated')
             e_returns = e_returns[:num_eval_episodes]
             e_lengths = e_lengths[:num_eval_episodes]
             eval_info = {

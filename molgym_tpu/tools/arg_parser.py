@@ -111,6 +111,12 @@ def build_default_argparser() -> argparse.ArgumentParser:
     parser.add_argument('--num_interactions',
                         help='SchNet interaction blocks (internal model)',
                         type=int, default=3)
+    parser.add_argument('--encoder_dtype',
+                        help='compute dtype of the covariant CG stack '
+                        '(bfloat16 halves encoder HBM traffic on TPU; heads '
+                        'stay float32)',
+                        type=str, choices=['float32', 'bfloat16'],
+                        default='float32')
 
     parser.add_argument('--load_latest', help='load latest checkpoint',
                         action='store_true', default=False)

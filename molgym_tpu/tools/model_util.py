@@ -39,5 +39,8 @@ def build_model(config: dict, observation_space: ObservationSpace,
             num_gaussians=config['num_gaussians'],
             bag_scale=config['bag_scale'],
             min_max_distance=min_max,
-            beta=float(beta) if beta is not None else None)
+            beta=float(beta) if beta is not None else None,
+            encoder_dtype=(config.get('encoder_dtype')
+                           if config.get('encoder_dtype') not in
+                           (None, 'float32') else None))
     raise RuntimeError(f"Model '{model}' is not available.")

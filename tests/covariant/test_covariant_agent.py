@@ -153,3 +153,39 @@ class TestCovariantAgentRL:
         pos = np.asarray(obs2.positions)
         expected = pos[np.arange(2), focus] + d[:, None] * n
         np.testing.assert_allclose(np.asarray(out2.position), expected, atol=1e-5)
+
+
+class TestBf16Encoder:
+    def test_bf16_encoder_close_to_f32(self):
+        """encoder_dtype='bfloat16' (TPU HBM-traffic mode) must run and stay
+        close to the f32 path — same params, same inputs, loose tolerance."""
+        space = ObservationSpace(canvas_size=5, zs=[0, 1, 6, 8])
+        kwargs = dict(zs=(0, 1, 6, 8), canvas_size=5, network_width=32,
+                      maxl=MAXL, num_cg_levels=2, num_channels_hidden=6,
+                      num_channels_per_element=3, num_gaussians=3,
+                      bag_scale=1, min_max_distance=(0.9, 1.8), beta=-10.0)
+        f32 = CovariantAC(**kwargs)
+        bf16 = CovariantAC(encoder_dtype='bfloat16', **kwargs)
+
+        obs = space.build(H2O, ((1, 1), ))
+        obs = jax.tree.map(lambda x: jnp.asarray(x)[None], obs)
+        params = f32.init(jax.random.PRNGKey(0), obs, jax.random.PRNGKey(0),
+                          method=f32.act)
+
+        out32 = f32.apply(params, obs, jax.random.PRNGKey(1), True,
+                          method=f32.act)
+        out16 = bf16.apply(params, obs, jax.random.PRNGKey(1), True,
+                           method=bf16.act)
+        assert out16.v.dtype == jnp.float32  # heads stay f32
+        np.testing.assert_allclose(np.asarray(out16.v), np.asarray(out32.v),
+                                   atol=0.15, rtol=0.15)
+        # greedy discrete decisions agree
+        np.testing.assert_array_equal(np.asarray(out16.action_flat[:, :2]),
+                                      np.asarray(out32.action_flat[:, :2]))
+
+        logp16, ent16, _ = bf16.apply(params, obs, out32.action_flat,
+                                      method=bf16.evaluate)
+        logp32, ent32, _ = f32.apply(params, obs, out32.action_flat,
+                                     method=f32.evaluate)
+        np.testing.assert_allclose(np.asarray(logp16), np.asarray(logp32),
+                                   atol=0.3, rtol=0.2)

@@ -248,3 +248,69 @@ class TestSO3Tools:
             d = wigner_D(l, 0.3, 1.1, -0.7)
             np.testing.assert_allclose(d @ d.conj().T, np.eye(2 * l + 1),
                                        atol=1e-12)
+
+
+class TestPackedLevel:
+    """The packed CG level (agents/cormorant.py CGLevelPacked) must compute
+    exactly what the per-l loop level (CGLevel) computes, for translated
+    parameters — it is a layout optimization, not new math."""
+
+    @staticmethod
+    def translate_params(old, maxl, tau, tau_out, atom_n_ells):
+        from molgym_tpu.ops.cg import cg_output_taus
+
+        ag_taus = cg_output_taus([tau] * (maxl + 1), [tau] * atom_n_ells, maxl)
+        sq_taus = cg_output_taus([tau_out] * (maxl + 1), [tau_out] * (maxl + 1),
+                                 maxl)
+        new = {'ag_mix': {}, 'cat_mix': {}}
+        for l in range(maxl + 1):
+            for part in ('w_r', 'w_i'):
+                w = np.asarray(old[f'ag_mix_l{l}'][part])
+                p = ag_taus[l] // tau
+                new['ag_mix'][f'{part}_l{l}_s0'] = w.reshape(p, tau, tau_out)
+                wc = np.asarray(old['cat_mix'][f'mix_l{l}'][part])
+                p_sq = sq_taus[l] // tau_out
+                rows = [tau_out, p_sq * tau_out,
+                        tau if l < atom_n_ells else 0]
+                a, b, c = np.split(wc, np.cumsum(rows)[:-1], axis=0)
+                new['cat_mix'][f'{part}_l{l}_s0'] = a.reshape(1, tau_out, tau_out)
+                new['cat_mix'][f'{part}_l{l}_s1'] = b.reshape(p_sq, tau_out,
+                                                              tau_out)
+                if l < atom_n_ells:
+                    new['cat_mix'][f'{part}_l{l}_s2'] = c.reshape(1, tau,
+                                                                  tau_out)
+        return new
+
+    @pytest.mark.parametrize('atom_n_ells', [1, 4])
+    def test_packed_level_matches_loop_level(self, atom_n_ells):
+        from molgym_tpu.agents.cormorant import CGLevel, CGLevelPacked
+        from molgym_tpu.ops.cg import pack_so3, unpack_so3
+
+        maxl, tau, tau_out = 3, 5, 6
+        B, N = 2, 4
+        rng = np.random.RandomState(0)
+        atom = random_so3vec(rng, atom_n_ells - 1, tau, batch=(B, N))
+        sph = random_so3vec(rng, maxl, 1, batch=(B, N, N))
+        sph = [s[..., 0, :, :] for s in sph]  # [B, N, N, 2l+1, 2]
+        rad = [jnp.asarray(rng.randn(B, N, N, tau).astype(np.float32))
+               for _ in range(maxl + 1)]
+        atom_mask = jnp.asarray(rng.rand(B, N) > 0.3)
+
+        old_level = CGLevel(maxl=maxl, tau_out=tau_out)
+        old_params = old_level.init(jax.random.PRNGKey(0), atom, sph, rad,
+                                    atom_mask)
+        old_out = old_level.apply(old_params, atom, sph, rad, atom_mask)
+
+        new_level = CGLevelPacked(maxl=maxl, tau_out=tau_out,
+                                  atom_n_ells=atom_n_ells)
+        new_params = {'params': self.translate_params(
+            old_params['params'], maxl, tau, tau_out, atom_n_ells)}
+        rad_feats = jnp.stack(rad, axis=-1)
+        new_out_packed = new_level.apply(new_params, pack_so3(atom),
+                                         pack_so3(sph), rad_feats, atom_mask)
+        new_out = unpack_so3(new_out_packed, maxl + 1)
+
+        assert len(old_out) == len(new_out)
+        for o, n in zip(old_out, new_out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(n),
+                                       atol=2e-5, rtol=2e-5)
