@@ -132,7 +132,9 @@ def run_sweep(dtype):
     log(f'{"batch":>6} {"ms":>8} {"flops":>12} {"GFLOP/s":>10} '
         f'{"MFU%":>7} {"ms/140rows":>11}')
     rows = []
-    for batch in (140, 560, 2240, 4480):
+    # 4480 exhausts HBM on this chip (lane-padded edge/backward intermediates
+    # at 32x the canonical batch); 2240 already shows the scaling trend.
+    for batch in (140, 560, 2240):
         grad_fn, params = build_grad_fn(batch)
         ms = timed(grad_fn, params)
         flops, _ = cost_flops(grad_fn, params)
@@ -222,7 +224,12 @@ def main():
     ap.add_argument('--sweep', action='store_true')
     ap.add_argument('--trace', action='store_true')
     ap.add_argument('--batch', type=int, default=140)
+    ap.add_argument('--agg', choices=['einsum', 'pallas'], default='einsum',
+                    help='backend for the fused edge aggregate')
     args = ap.parse_args()
+    if args.agg != 'einsum':
+        from molgym_tpu.ops.cg import set_aggregate_backend
+        set_aggregate_backend(args.agg)
 
     os.makedirs('/tmp/molgym_tpu_xla_cache', exist_ok=True)
     import jax

@@ -199,15 +199,25 @@ class CGLevelPacked(nn.Module):
                  rad_feats: jnp.ndarray, atom_mask: jnp.ndarray) -> jnp.ndarray:
         # atom_packed [B, N, tau, M_atom, 2]; sph_packed [B, N, N, M, 2];
         # rad_feats [B, N, N, tau, maxl+1] (gated).
-        n_ells = self.maxl + 1
-        reps = np.array([2 * l + 1 for l in range(n_ells)])
-        rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,
-                           total_repeat_length=int(reps.sum()))
-        # edge rep, built in one op: [B, N, N, tau, M, 2]
-        edge = rad_m[..., None] * sph_packed[..., None, :, :]
+        from molgym_tpu.ops import cg as cg_mod
 
-        ag_k, ag_slices = cg_aggregate_packed(edge, atom_packed, n_ells,
-                                              self.atom_n_ells, self.maxl)
+        n_ells = self.maxl + 1
+        backend = cg_mod.aggregate_backend()
+        if backend.startswith('pallas'):
+            from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused
+            table3, ag_slices = cg_mod._fused_cg_table(
+                n_ells, self.atom_n_ells, self.maxl)
+            ag_k = cg_aggregate_edge_fused(
+                sph_packed, rad_feats, atom_packed, table3,
+                interpret=backend == 'pallas_interpret')
+        else:
+            reps = np.array([2 * l + 1 for l in range(n_ells)])
+            rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,
+                               total_repeat_length=int(reps.sum()))
+            # edge rep, built in one op: [B, N, N, tau, M, 2]
+            edge = rad_m[..., None] * sph_packed[..., None, :, :]
+            ag_k, ag_slices = cg_aggregate_packed(edge, atom_packed, n_ells,
+                                                  self.atom_n_ells, self.maxl)
         ag = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=1.0,
                           name='ag_mix')([(ag_k, ag_slices)])
         sq_k, sq_slices = cg_product_packed(ag, ag, n_ells, n_ells, self.maxl)
@@ -339,17 +349,26 @@ class CormorantEncoder(nn.Module):
 class CormorantMixer(nn.Module):
     """Condition covariants on another rep: ag = other (x) in; sq = ag (x) ag;
     out = CatMix([ag, sq, in]) (reference CormorantMixer,
-    covariant/modules.py:138-190)."""
+    covariant/modules.py:138-190). Packed-form implementation (same math as
+    the per-l loop modules; see CGLevelPacked)."""
     maxl: int
     tau_out: int
     gain: float = 1.0
 
     @nn.compact
     def __call__(self, atom_rep: SO3Vec, other_rep: SO3Vec) -> SO3Vec:
-        ag = cg_product(other_rep, atom_rep, self.maxl)
-        ag = [ComplexLinear(tau_out=self.tau_out, gain=1.0,
-                            name=f'ag_mix_l{l}')(part)
-              for l, part in enumerate(ag)]
-        sq = cg_product(ag, ag, self.maxl)
-        return CatMixReps(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
-                          name='cat_mix')([ag, sq, atom_rep])
+        n_other, n_atom = len(other_rep), len(atom_rep)
+        other = pack_so3(other_rep)
+        atom = pack_so3(atom_rep)
+        ag_k, ag_slices = cg_product_packed(other, atom, n_other, n_atom,
+                                            self.maxl)
+        ag = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=1.0,
+                          name='ag_mix')([(ag_k, ag_slices)])
+        n_ells = self.maxl + 1
+        sq_k, sq_slices = cg_product_packed(ag, ag, n_ells, n_ells, self.maxl)
+        out = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
+                          name='cat_mix')([
+                              (ag, m_slices(n_ells, self.maxl)),
+                              (sq_k, sq_slices),
+                              (atom, m_slices(n_atom, self.maxl))])
+        return unpack_so3(out, n_ells)

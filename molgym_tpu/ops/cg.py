@@ -166,11 +166,26 @@ def _unpack_out(out_flat: jnp.ndarray, slices, maxl: int) -> List[jnp.ndarray]:
 # 'pallas' (fused outer-product + MXU matmul kernel, ops/pallas_cg.py).
 _CG_BACKEND = 'einsum'
 
+# Backend for the fused edge-build + CG aggregate in the encoder's CG levels:
+# 'einsum' (XLA; materializes the edge tensor in HBM) or 'pallas'
+# (ops/pallas_agg.py; edge rep and contraction intermediate stay in VMEM).
+_AGG_BACKEND = 'einsum'
+
 
 def set_cg_backend(backend: str) -> None:
     global _CG_BACKEND
     assert backend in ('einsum', 'pallas', 'pallas_interpret')
     _CG_BACKEND = backend
+
+
+def set_aggregate_backend(backend: str) -> None:
+    global _AGG_BACKEND
+    assert backend in ('einsum', 'pallas', 'pallas_interpret')
+    _AGG_BACKEND = backend
+
+
+def aggregate_backend() -> str:
+    return _AGG_BACKEND
 
 
 def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],

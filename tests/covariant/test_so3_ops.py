@@ -314,3 +314,52 @@ class TestPackedLevel:
         for o, n in zip(old_out, new_out):
             np.testing.assert_allclose(np.asarray(o), np.asarray(n),
                                        atol=2e-5, rtol=2e-5)
+
+
+class TestFusedAggregateKernel:
+    """ops/pallas_agg.py (fused edge-build + CG aggregate) vs the einsum
+    oracle, forward and gradients, in interpret mode."""
+
+    @pytest.mark.parametrize('atom_n_ells,tau', [(1, 5), (4, 6)])
+    def test_fwd_and_grads_match_einsum(self, atom_n_ells, tau):
+        from molgym_tpu.ops.cg import _fused_cg_table, cg_aggregate_packed
+        from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused
+
+        maxl = 3
+        B, N = 2, 4
+        n_ells = maxl + 1
+        m1 = sum(2 * l + 1 for l in range(n_ells))
+        m2 = sum(2 * l + 1 for l in range(atom_n_ells))
+        rng = np.random.RandomState(0)
+        sph = jnp.asarray(rng.randn(B, N, N, m1, 2).astype(np.float32))
+        rad = jnp.asarray(rng.randn(B, N, N, tau, n_ells).astype(np.float32))
+        atom = jnp.asarray(rng.randn(B, N, tau, m2, 2).astype(np.float32))
+        table3, _slices = _fused_cg_table(n_ells, atom_n_ells, maxl)
+
+        def via_einsum(rad_, atom_):
+            reps = np.array([2 * l + 1 for l in range(n_ells)])
+            rad_m = jnp.repeat(rad_, repeats=reps, axis=-1,
+                               total_repeat_length=m1)
+            edge = rad_m[..., None] * sph[..., None, :, :]
+            out, _ = cg_aggregate_packed(edge, atom_, n_ells, atom_n_ells,
+                                         maxl)
+            return out
+
+        def via_pallas(rad_, atom_):
+            return cg_aggregate_edge_fused(sph, rad_, atom_, table3,
+                                           interpret=True)
+
+        ref = via_einsum(rad, atom)
+        out = via_pallas(rad, atom)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+        # gradients wrt radial features and atom rep
+        cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+        loss_e = lambda r, a: jnp.sum(via_einsum(r, a) * cot)
+        loss_p = lambda r, a: jnp.sum(via_pallas(r, a) * cot)
+        ge = jax.grad(loss_e, argnums=(0, 1))(rad, atom)
+        gp = jax.grad(loss_p, argnums=(0, 1))(rad, atom)
+        for a, b in zip(ge, gp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)
