@@ -34,8 +34,7 @@ from molgym_tpu.distributions.discrete import (categorical_argmax,
                                                categorical_log_prob,
                                                categorical_sample,
                                                masked_categorical_probs,
-                                               normal_entropy, normal_log_prob,
-                                               normal_sample)
+                                               normal_log_prob, normal_sample)
 from molgym_tpu.ops import zmat
 from molgym_tpu.ops.masked import masked_sum, to_one_hot
 from molgym_tpu.spaces import Observation
