@@ -102,7 +102,12 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
     agent = make_agent(encoder_dtype)
     elements, positions, bag = make_batch(batch=batch)
     # init + action generation on host CPU: only the grad program pays the
-    # (multi-minute, tunneled) TPU compile.
+    # (multi-minute, tunneled) TPU compile. The pallas aggregate kernel can't
+    # compile for CPU, so force the einsum backend here — the parameter tree
+    # is backend-independent.
+    from molgym_tpu.ops import cg as cg_mod
+    saved_backend = cg_mod.aggregate_backend()
+    cg_mod.set_aggregate_backend('einsum')
     with jax.default_device(jax.devices('cpu')[0]):
         obs_cpu = Observation(elements=jnp.asarray(elements),
                               positions=jnp.asarray(positions),
@@ -111,6 +116,7 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
         params = agent.init(rng, obs_cpu, rng, method=agent.act)
         actions = agent.apply(params, obs_cpu, rng, False,
                               method=agent.act).action_flat
+    cg_mod.set_aggregate_backend(saved_backend)
     dev = jax.devices()[0]
     obs = jax.device_put(obs_cpu, dev)
     params = jax.device_put(params, dev)
@@ -238,9 +244,19 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
         grad_fn, params = build_grad_fn(encoder_dtype='bfloat16')
         return round(time_grad(grad_fn, params), 3)
 
+    def pallas_agg():
+        from molgym_tpu.ops.cg import set_aggregate_backend
+        set_aggregate_backend('pallas')
+        try:
+            grad_fn, params = build_grad_fn()
+            return round(time_grad(grad_fn, params), 3)
+        finally:
+            set_aggregate_backend('einsum')
+
     guard('mfu_est_pct', mfu140)
     guard('ms_batch_2240', batch_2240)
     guard('ms_bf16', bf16)
+    guard('ms_pallas_agg', pallas_agg)
     guard('env_steps_per_sec_eht', lambda: round(bench_env_steps_eht(True), 1))
     guard('env_steps_per_sec_eht_serial',
           lambda: round(bench_env_steps_eht(False), 1))

@@ -72,7 +72,12 @@ def build_grad_fn(batch):
                         bag_scale=5, min_max_distance=(1.10, 2.10), beta=-10.0)
     elements, positions, bag = make_batch(batch)
     # init + action generation on host CPU: only the grad program pays the
-    # (multi-minute, tunneled) TPU compile.
+    # (multi-minute, tunneled) TPU compile. The pallas aggregate kernel can't
+    # compile for CPU, so force the einsum backend here — the parameter tree
+    # is backend-independent.
+    from molgym_tpu.ops import cg as cg_mod
+    saved_backend = cg_mod.aggregate_backend()
+    cg_mod.set_aggregate_backend('einsum')
     with jax.default_device(jax.devices('cpu')[0]):
         obs_cpu = Observation(elements=jnp.asarray(elements),
                               positions=jnp.asarray(positions),
@@ -81,6 +86,7 @@ def build_grad_fn(batch):
         params = agent.init(rng, obs_cpu, rng, method=agent.act)
         actions = agent.apply(params, obs_cpu, rng, False,
                               method=agent.act).action_flat
+    cg_mod.set_aggregate_backend(saved_backend)
     dev = jax.devices()[0]
     obs = jax.device_put(obs_cpu, dev)
     params = jax.device_put(params, dev)

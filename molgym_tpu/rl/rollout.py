@@ -94,11 +94,24 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
 
     from molgym_tpu.spaces import Observation
 
-    act = jax.jit(lambda p, o, k: agent.apply(p, o, k, deterministic,
-                                              method=agent.act))
-    reward_inputs = jax.jit(env.reward_inputs)
-    finalize_step = jax.jit(env.finalize_step)
-    reset_if_terminal = jax.jit(env.reset_if_terminal)
+    # One jitted call per device phase — each dispatch through a remote/
+    # tunneled PJRT backend costs an RTT, so act + reward-input extraction
+    # are fused, as are finalize + auto-reset, and all host-bound arrays
+    # leave the device in a single transfer.
+    def _act_and_inputs(p, states, o, k):
+        out = agent.apply(p, o, k, deterministic, method=agent.act)
+        stop, valid, needs, zs_atomic, new_z = env.reward_inputs(
+            states, out.element, out.position)
+        return out, stop, valid, needs, zs_atomic, new_z
+
+    def _finalize_and_reset(states, element, position, stop, valid, rewards):
+        result = env.finalize_step(states, element, position, stop, valid,
+                                   rewards)
+        next_states, next_obs = env.reset_if_terminal(result.state, result.done)
+        return result, next_states, next_obs
+
+    act_and_inputs = jax.jit(_act_and_inputs)
+    finalize_and_reset = jax.jit(_finalize_and_reset)
     reset_all = jax.jit(lambda s: jax.vmap(env.reset)(s))
 
     def rollout(params, states, rng):
@@ -107,18 +120,20 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
         rew_seq, term_seq, val_seq, logp_seq = [], [], [], []
         for _t in range(num_steps_per_env):
             rng, key = jax.random.split(rng)
-            out = act(params, obs, key)
-            stop, valid, needs, zs_atomic, new_z = reward_inputs(
-                states, out.element, out.position)
+            out, stop, valid, needs, zs_atomic, new_z = act_and_inputs(
+                params, states, obs, key)
+            zs_np, pos_np, n_np, newz_np, newpos_np, needs_np = jax.device_get(
+                (zs_atomic, states.positions, states.n_atoms, new_z,
+                 out.position, needs))
             rewards = batch_calculator.batch_reward(
-                np.asarray(zs_atomic), np.asarray(states.positions, np.float64),
-                np.asarray(states.n_atoms), np.asarray(new_z),
-                np.asarray(out.position, np.float64), np.asarray(needs))
+                zs_np, np.asarray(pos_np, np.float64), n_np, newz_np,
+                np.asarray(newpos_np, np.float64), needs_np)
             if distance_penalty:
-                dist = np.linalg.norm(np.asarray(out.position, np.float64), axis=-1)
-                rewards = rewards - distance_penalty * dist * np.asarray(needs)
-            result = finalize_step(states, out.element, out.position, stop,
-                                   valid, jnp.asarray(rewards, jnp.float32))
+                dist = np.linalg.norm(np.asarray(newpos_np, np.float64), axis=-1)
+                rewards = rewards - distance_penalty * dist * needs_np
+            result, next_states, next_obs = finalize_and_reset(
+                states, out.element, out.position, stop, valid,
+                jnp.asarray(rewards, jnp.float32))
             obs_seq.append(obs)
             next_obs_seq.append(result.observation)
             act_seq.append(out.action_flat)
@@ -126,10 +141,10 @@ def make_host_loop_rollout_fn(env: MolecularEnv, agent,
             term_seq.append(result.done)
             val_seq.append(out.v)
             logp_seq.append(out.logp)
-            states, obs = reset_if_terminal(result.state, result.done)
+            states, obs = next_states, next_obs
 
         rng, key = jax.random.split(rng)
-        final_out = act(params, obs, key)
+        final_out = act_and_inputs(params, states, obs, key)[0]
 
         stack = lambda xs: jnp.stack(xs, axis=0)
         obs_stacked = Observation(
@@ -170,22 +185,35 @@ def make_pipelined_host_rollout_fn(env: MolecularEnv, agent,
 
     from molgym_tpu.spaces import Observation
 
+    # Device phases are fused to minimize per-step dispatches (each one costs
+    # an RTT on remote/tunneled PJRT backends): reward-input extraction stays
+    # its own small call (the host reward must start before the big forward
+    # finishes), the speculative advance + next policy forward are one call,
+    # and finalize + auto-reset are one call. All host-bound arrays leave the
+    # device in a single transfer.
     act = jax.jit(lambda p, o, k: agent.apply(p, o, k, deterministic,
                                               method=agent.act))
     reward_inputs = jax.jit(env.reward_inputs)
-    finalize_step = jax.jit(env.finalize_step)
-    reset_if_terminal = jax.jit(env.reset_if_terminal)
     reset_all = jax.jit(lambda s: jax.vmap(env.reset)(s))
 
-    def speculative_advance(states, element, position, stop, valid):
+    def _spec_advance_act(p, states, element, position, stop, valid, k):
         # reward=0 never trips `reward < min_reward` (min_reward < 0), so this
         # is exactly finalize+reset under the no-low-termination assumption —
         # bitwise equal to the real next observation whenever no env went low.
         result = env.finalize_step(states, element, position, stop, valid,
                                    jnp.zeros_like(stop, jnp.float32))
-        return env.reset_if_terminal(result.state, result.done)
+        _prov_states, prov_obs = env.reset_if_terminal(result.state,
+                                                       result.done)
+        return agent.apply(p, prov_obs, k, deterministic, method=agent.act)
 
-    speculative_advance = jax.jit(speculative_advance)
+    def _finalize_and_reset(states, element, position, stop, valid, rewards):
+        result = env.finalize_step(states, element, position, stop, valid,
+                                   rewards)
+        next_states, next_obs = env.reset_if_terminal(result.state, result.done)
+        return result, next_states, next_obs
+
+    spec_advance_act = jax.jit(_spec_advance_act)
+    finalize_and_reset = jax.jit(_finalize_and_reset)
 
     executor = ThreadPoolExecutor(max_workers=1,
                                   thread_name_prefix='mg_reward')
@@ -208,23 +236,24 @@ def make_pipelined_host_rollout_fn(env: MolecularEnv, agent,
         for t in range(num_steps_per_env):
             stop, valid, needs, zs_atomic, new_z = reward_inputs(
                 states, out.element, out.position)
-            # materialize host inputs, then hand off to the worker thread
-            needs_np = np.asarray(needs)
+            # materialize host inputs (one transfer), hand off to the worker
+            zs_np, pos_np, n_np, newz_np, newpos_np, needs_np = jax.device_get(
+                (zs_atomic, states.positions, states.n_atoms, new_z,
+                 out.position, needs))
             future = executor.submit(
-                compute_reward, np.asarray(zs_atomic),
-                np.asarray(states.positions, np.float64),
-                np.asarray(states.n_atoms), np.asarray(new_z),
-                np.asarray(out.position, np.float64), needs_np)
+                compute_reward, zs_np, np.asarray(pos_np, np.float64), n_np,
+                newz_np, np.asarray(newpos_np, np.float64), needs_np)
             last = t + 1 == num_steps_per_env
             if not last:
                 # speculative device work, overlapped with the host reward
-                prov_states, prov_obs = speculative_advance(
-                    states, out.element, out.position, stop, valid)
                 rng, next_key = jax.random.split(rng)
-                out_next = act(params, prov_obs, next_key)
+                out_next = spec_advance_act(params, states, out.element,
+                                            out.position, stop, valid,
+                                            next_key)
             rewards = future.result()
-            result = finalize_step(states, out.element, out.position, stop,
-                                   valid, jnp.asarray(rewards, jnp.float32))
+            result, next_states, next_obs = finalize_and_reset(
+                states, out.element, out.position, stop, valid,
+                jnp.asarray(rewards, jnp.float32))
             obs_seq.append(obs)
             next_obs_seq.append(result.observation)
             act_seq.append(out.action_flat)
@@ -232,7 +261,6 @@ def make_pipelined_host_rollout_fn(env: MolecularEnv, agent,
             term_seq.append(result.done)
             val_seq.append(out.v)
             logp_seq.append(out.logp)
-            next_states, next_obs = reset_if_terminal(result.state, result.done)
             if not last:
                 if bool(((rewards < env.min_reward) & (needs_np > 0)).any()):
                     # a low-reward termination fired: the speculative forward
