@@ -244,19 +244,21 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
         grad_fn, params = build_grad_fn(encoder_dtype='bfloat16')
         return round(time_grad(grad_fn, params), 3)
 
-    def pallas_agg():
+    def einsum_agg():
+        # the default aggregate backend is the fused Pallas kernel on TPU
+        # (ops/cg.py 'auto'); this times the XLA einsum path for comparison
         from molgym_tpu.ops.cg import set_aggregate_backend
-        set_aggregate_backend('pallas')
+        set_aggregate_backend('einsum')
         try:
             grad_fn, params = build_grad_fn()
             return round(time_grad(grad_fn, params), 3)
         finally:
-            set_aggregate_backend('einsum')
+            set_aggregate_backend('auto')
 
     guard('mfu_est_pct', mfu140)
     guard('ms_batch_2240', batch_2240)
     guard('ms_bf16', bf16)
-    guard('ms_pallas_agg', pallas_agg)
+    guard('ms_einsum_agg', einsum_agg)
     guard('env_steps_per_sec_eht', lambda: round(bench_env_steps_eht(True), 1))
     guard('env_steps_per_sec_eht_serial',
           lambda: round(bench_env_steps_eht(False), 1))

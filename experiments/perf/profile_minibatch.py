@@ -58,7 +58,7 @@ def make_batch(batch, rng_seed=0):
     return elements, positions, bag
 
 
-def build_grad_fn(batch):
+def build_grad_fn(batch, encoder_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,8 @@ def build_grad_fn(batch):
                         maxl=MAXL, num_cg_levels=NUM_LEVELS,
                         num_channels_hidden=HIDDEN,
                         num_channels_per_element=CPE, num_gaussians=3,
-                        bag_scale=5, min_max_distance=(1.10, 2.10), beta=-10.0)
+                        bag_scale=5, min_max_distance=(1.10, 2.10), beta=-10.0,
+                        encoder_dtype=encoder_dtype)
     elements, positions, bag = make_batch(batch)
     # init + action generation on host CPU: only the grad program pays the
     # (multi-minute, tunneled) TPU compile. The pallas aggregate kernel can't
@@ -232,6 +233,8 @@ def main():
     ap.add_argument('--batch', type=int, default=140)
     ap.add_argument('--agg', choices=['einsum', 'pallas'], default='einsum',
                     help='backend for the fused edge aggregate')
+    ap.add_argument('--dtype', choices=['f32', 'bf16'], default='f32',
+                    help='encoder compute dtype')
     args = ap.parse_args()
     if args.agg != 'einsum':
         from molgym_tpu.ops.cg import set_aggregate_backend
@@ -247,11 +250,16 @@ def main():
     if args.trace:
         run_trace(args.batch)
     if not (args.sweep or args.trace):
-        grad_fn, params = build_grad_fn(args.batch)
+        dt = 'bfloat16' if args.dtype == 'bf16' else None
+        grad_fn, params = build_grad_fn(args.batch, encoder_dtype=dt)
         ms = timed(grad_fn, params)
-        flops, extras = cost_flops(grad_fn, params)
-        log(f'batch {args.batch}: {ms:.2f} ms, flops={flops:.3e}, '
-            f'MFU≈{flops / (ms / 1e3) / PEAK_FLOPS * 100:.3f}% {extras}')
+        log(f'batch {args.batch}: {ms:.2f} ms')
+        if args.agg == 'einsum':
+            # the CPU-lowering fallback inside cost_flops cannot lower the
+            # pallas kernel (interpret-only on CPU) — einsum-backend only
+            flops, extras = cost_flops(grad_fn, params)
+            log(f'flops={flops:.3e}, '
+                f'MFU≈{flops / (ms / 1e3) / PEAK_FLOPS * 100:.3f}% {extras}')
 
 
 if __name__ == '__main__':

@@ -11,118 +11,116 @@ aggregate=True; einsum oracle: ops/cg.py::cg_aggregate_packed). The XLA
 einsum path materializes the [B,N,N,tau,M] edge tensor and a contraction
 intermediate in HBM — both heavily lane-padded under TPU (8,128) tiling, with
 layout copies around the convolution custom-calls dominating the profile
-(experiments/perf/). Here the edge rep and the z intermediate live only in
-VMEM: per (m, j) the kernel forms e on the fly with VPU broadcasts and
-accumulates M1 MXU matmuls against per-m slabs of the CG table.
+(experiments/perf/).
 
-Data layout is strictly 2D (rows x lanes) to stay inside Mosaic's supported
-reshape set: rows r = (batch, atom_i, tau) flattened OUTSIDE the kernel by
-XLA (leading-dim collapses only), lanes hold (j, m) / (j, n) / (j, l) groups.
+Here the z[r, (m,n)] = sum_j e[r,j,m] q[r,j,n] intermediate — the tensor the
+einsum path cannot keep out of HBM — lives only in VMEM. Rows r = (batch,
+atom_i, tau) are flattened outside the kernel; lanes hold (j, m) / (j, n)
+groups. Per neighbor j the kernel expands the e / q slabs to the (m, n) pair
+axis with two static 0/1 replication matmuls (MXU), forms z with VPU
+elementwise complex products, and finishes with one [R, m1*m2] x [m1*m2, K]
+matmul against the flattened CG table. Everything is slab-granular: no
+per-(m, j) lane slicing (an earlier variant fully unrolled that loop and
+overflowed Mosaic's 16M scoped-vmem stack with hundreds of live lane-padded
+[R, 1] temporaries).
 
 Complex numbers travel as separate real/imag operands (a trailing axis of 2
-would be lane-padded 2->128). The backward is a second kernel with the same
-loop structure, wired through jax.custom_vjp; gradients flow to the radial
-features and the atom rep. The spherical harmonics receive no gradient
-(positions are inputs, not parameters, in every PPO training path) — enforced
-via stop_gradient at the entry point.
+would be lane-padded 2->128). The edge rep e = rad_m * conj(Y) is built by
+XLA *outside* the kernel in compact 2D row layout — XLA fuses the gather and
+multiply into the producers, and the VJPs to the radial features and the atom
+rep (neighbor-sum) fall out of the surrounding broadcast/reshape ops
+automatically. The kernel's own backward is a second Pallas kernel with the
+same loop structure wired through jax.custom_vjp. The spherical harmonics
+receive no gradient (positions are inputs, not parameters, in every PPO
+training path) — enforced via stop_gradient at the entry point.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_ROW_TILE = 512
-
-
-def _l_of_m(n_ells: int) -> Tuple[int, ...]:
-    out = []
-    for l in range(n_ells):
-        out.extend([l] * (2 * l + 1))
-    return tuple(out)
+_ROW_TILE = 256
 
 
 # ---------------------------------------------------------------------------
-# kernels (all operands 2D: [rows, lanes])
+# kernels (row operands 2D: [rows, lanes]; tables 2D: [in, pairs/K])
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(p_r_ref, p_i_ref, rad_ref, q_r_ref, q_i_ref, c_ref,
-                out_r_ref, out_i_ref, *, n_j, m1, m2, ell_of_m, n_l):
-    # p_*  [R, n_j*m1] (j-major)   rad [R, n_j*n_l] (j-major)
-    # q_*  [R, n_j*m2] (j-major)   c   [m1, m2, K]      out_* [R, K]
-    k = c_ref.shape[-1]
-    rows = p_r_ref.shape[0]
-    p_r, p_i = p_r_ref[:].astype(jnp.float32), p_i_ref[:].astype(jnp.float32)
-    rad = rad_ref[:].astype(jnp.float32)
-    q_r, q_i = q_r_ref[:].astype(jnp.float32), q_i_ref[:].astype(jnp.float32)
-
-    acc_r = jnp.zeros((rows, k), jnp.float32)
-    acc_i = jnp.zeros((rows, k), jnp.float32)
-    for m in range(m1):
-        l = ell_of_m[m]
-        z_r = jnp.zeros((rows, m2), jnp.float32)
-        z_i = jnp.zeros((rows, m2), jnp.float32)
-        for j in range(n_j):
-            e_r = rad[:, j * n_l + l:j * n_l + l + 1] * \
-                p_r[:, j * m1 + m:j * m1 + m + 1]          # [R, 1]
-            e_i = rad[:, j * n_l + l:j * n_l + l + 1] * \
-                p_i[:, j * m1 + m:j * m1 + m + 1]
-            qr = q_r[:, j * m2:(j + 1) * m2]               # [R, m2]
-            qi = q_i[:, j * m2:(j + 1) * m2]
-            z_r = z_r + e_r * qr - e_i * qi
-            z_i = z_i + e_r * qi + e_i * qr
-        cm = c_ref[m]                                      # [m2, K]
-        acc_r = acc_r + jnp.dot(z_r, cm, preferred_element_type=jnp.float32)
-        acc_i = acc_i + jnp.dot(z_i, cm, preferred_element_type=jnp.float32)
-    out_r_ref[:] = acc_r.astype(out_r_ref.dtype)
-    out_i_ref[:] = acc_i.astype(out_i_ref.dtype)
+def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
+                c_ref, out_r_ref, out_i_ref, *, n_j, m1, m2):
+    # e_* [R, n_j*m1] (j-major)  q_* [R, n_j*m2] (j-major)
+    # repm [m1, m1*m2]  tilem [m2, m1*m2]  c [m1*m2, K]  out_* [R, K]
+    rows = e_r_ref.shape[0]
+    p = m1 * m2
+    repm = repm_ref[:]
+    tilem = tilem_ref[:]
+    z_r = jnp.zeros((rows, p), jnp.float32)
+    z_i = jnp.zeros((rows, p), jnp.float32)
+    for j in range(n_j):
+        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
+        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
+        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
+        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
+        big_qr = jnp.dot(qr, tilem, preferred_element_type=jnp.float32)
+        big_qi = jnp.dot(qi, tilem, preferred_element_type=jnp.float32)
+        z_r = z_r + big_er * big_qr - big_ei * big_qi
+        z_i = z_i + big_er * big_qi + big_ei * big_qr
+    c = c_ref[:]
+    out_r_ref[:] = jnp.dot(z_r, c, preferred_element_type=jnp.float32).astype(
+        out_r_ref.dtype)
+    out_i_ref[:] = jnp.dot(z_i, c, preferred_element_type=jnp.float32).astype(
+        out_i_ref.dtype)
 
 
-def _bwd_kernel(p_r_ref, p_i_ref, rad_ref, q_r_ref, q_i_ref, ct_ref,
-                g_r_ref, g_i_ref, drad_ref, dq_r_ref, dq_i_ref,
-                *, n_j, m1, m2, ell_of_m, n_l):
-    # ct [m1, K, m2] (per-m transposed slabs); g_* [R, K]
-    p_r, p_i = p_r_ref[:].astype(jnp.float32), p_i_ref[:].astype(jnp.float32)
-    rad = rad_ref[:].astype(jnp.float32)
-    q_r, q_i = q_r_ref[:].astype(jnp.float32), q_i_ref[:].astype(jnp.float32)
-    g_r, g_i = g_r_ref[:].astype(jnp.float32), g_i_ref[:].astype(jnp.float32)
-    rows = p_r.shape[0]
-
-    dq_r = [jnp.zeros((rows, m2), jnp.float32) for _ in range(n_j)]
-    dq_i = [jnp.zeros((rows, m2), jnp.float32) for _ in range(n_j)]
-    drad = [jnp.zeros((rows, n_l), jnp.float32) for _ in range(n_j)]
-    for m in range(m1):
-        l = ell_of_m[m]
-        ctm = ct_ref[m]                                    # [K, m2]
-        dz_r = jnp.dot(g_r, ctm, preferred_element_type=jnp.float32)
-        dz_i = jnp.dot(g_i, ctm, preferred_element_type=jnp.float32)
-        for j in range(n_j):
-            r_jl = rad[:, j * n_l + l:j * n_l + l + 1]     # [R, 1]
-            pr = p_r[:, j * m1 + m:j * m1 + m + 1]
-            pi = p_i[:, j * m1 + m:j * m1 + m + 1]
-            e_r, e_i = r_jl * pr, r_jl * pi
-            qr = q_r[:, j * m2:(j + 1) * m2]
-            qi = q_i[:, j * m2:(j + 1) * m2]
-            # dq += conj(e) * dz      (per row; host reduces over atom_i)
-            dq_r[j] = dq_r[j] + e_r * dz_r + e_i * dz_i
-            dq_i[j] = dq_i[j] + e_r * dz_i - e_i * dz_r
-            # de = sum_n conj(q) * dz ;  drad = Re(conj(p) * de)
-            de_r = jnp.sum(qr * dz_r + qi * dz_i, axis=-1, keepdims=True)
-            de_i = jnp.sum(qr * dz_i - qi * dz_r, axis=-1, keepdims=True)
-            contrib = pr * de_r + pi * de_i                # [R, 1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_l), 1)
-            drad[j] = drad[j] + jnp.where(lane == l, contrib, 0.0)
-    drad_ref[:] = jnp.concatenate(drad, axis=-1).astype(drad_ref.dtype)
-    dq_r_ref[:] = jnp.concatenate(dq_r, axis=-1).astype(dq_r_ref.dtype)
-    dq_i_ref[:] = jnp.concatenate(dq_i, axis=-1).astype(dq_i_ref.dtype)
+def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
+                repm_t_ref, tilem_t_ref, ct_ref, g_r_ref, g_i_ref,
+                de_r_ref, de_i_ref, dq_r_ref, dq_i_ref, *, n_j, m1, m2):
+    # ct [K, m1*m2]  repm_t [m1*m2, m1]  tilem_t [m1*m2, m2]  g_* [R, K]
+    repm = repm_ref[:]
+    tilem = tilem_ref[:]
+    repm_t = repm_t_ref[:]
+    tilem_t = tilem_t_ref[:]
+    ct = ct_ref[:]
+    g_r = g_r_ref[:].astype(jnp.float32)
+    g_i = g_i_ref[:].astype(jnp.float32)
+    dz_r = jnp.dot(g_r, ct, preferred_element_type=jnp.float32)
+    dz_i = jnp.dot(g_i, ct, preferred_element_type=jnp.float32)
+    for j in range(n_j):
+        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
+        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
+        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
+        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
+        big_qr = jnp.dot(qr, tilem, preferred_element_type=jnp.float32)
+        big_qi = jnp.dot(qi, tilem, preferred_element_type=jnp.float32)
+        # z_r = Er Qr - Ei Qi ; z_i = Er Qi + Ei Qr
+        d_er = dz_r * big_qr + dz_i * big_qi
+        d_ei = dz_i * big_qr - dz_r * big_qi
+        d_qr = dz_r * big_er + dz_i * big_ei
+        d_qi = dz_i * big_er - dz_r * big_ei
+        de_r_ref[:, j * m1:(j + 1) * m1] = jnp.dot(
+            d_er, repm_t, preferred_element_type=jnp.float32).astype(
+                de_r_ref.dtype)
+        de_i_ref[:, j * m1:(j + 1) * m1] = jnp.dot(
+            d_ei, repm_t, preferred_element_type=jnp.float32).astype(
+                de_i_ref.dtype)
+        dq_r_ref[:, j * m2:(j + 1) * m2] = jnp.dot(
+            d_qr, tilem_t, preferred_element_type=jnp.float32).astype(
+                dq_r_ref.dtype)
+        dq_i_ref[:, j * m2:(j + 1) * m2] = jnp.dot(
+            d_qi, tilem_t, preferred_element_type=jnp.float32).astype(
+                dq_i_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# custom-vjp wrapper over 2D row operands (table closed over per config)
+# custom-vjp wrapper over 2D row operands (tables closed over per config)
 # ---------------------------------------------------------------------------
 
 def _pad_rows(x, pad):
@@ -133,72 +131,75 @@ def _row_spec(width):
     return pl.BlockSpec((_ROW_TILE, width), lambda i: (i, 0))
 
 
-@functools.lru_cache(maxsize=None)
-def _make_row_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
-                 table_bytes: bytes, interpret: bool):
-    table3 = np.frombuffer(table_bytes, np.float32).reshape(m1, m2, k)
-    ell = _l_of_m(n_l)
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
-    def run_fwd(p_r, p_i, rad, q_r, q_i):
-        rows = p_r.shape[0]
+
+@functools.lru_cache(maxsize=None)
+def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
+                 interpret: bool):
+    cflat = np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k)
+    # pair index p = m*m2 + n:  repm expands e over n, tilem tiles q over m.
+    repm = np.kron(np.eye(m1, dtype=np.float32),
+                   np.ones((1, m2), np.float32))
+    tilem = np.kron(np.ones((1, m1), np.float32),
+                    np.eye(m2, dtype=np.float32))
+    tables_f = (repm, tilem, cflat)
+    tables_b = (repm, tilem, repm.T.copy(), tilem.T.copy(), cflat.T.copy())
+
+    def run_fwd(e_r, e_i, q_r, q_i):
+        rows = e_r.shape[0]
         pad = (-rows) % _ROW_TILE
-        args = [_pad_rows(x, pad) for x in (p_r, p_i, rad, q_r, q_i)]
+        args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i)]
         rp = rows + pad
-        kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                                   ell_of_m=ell, n_l=n_l)
+        kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2)
         out_r, out_i = pl.pallas_call(
             kernel,
-            out_shape=(jax.ShapeDtypeStruct((rp, k), p_r.dtype),
-                       jax.ShapeDtypeStruct((rp, k), p_r.dtype)),
+            out_shape=(jax.ShapeDtypeStruct((rp, k), e_r.dtype),
+                       jax.ShapeDtypeStruct((rp, k), e_r.dtype)),
             grid=(rp // _ROW_TILE, ),
             in_specs=[_row_spec(n_j * m1), _row_spec(n_j * m1),
-                      _row_spec(n_j * n_l), _row_spec(n_j * m2),
-                      _row_spec(n_j * m2),
-                      pl.BlockSpec((m1, m2, k), lambda i: (0, 0, 0))],
+                      _row_spec(n_j * m2), _row_spec(n_j * m2)] +
+                     [_full_spec(t.shape) for t in tables_f],
             out_specs=(_row_spec(k), _row_spec(k)),
             interpret=interpret,
-        )(*args, jnp.asarray(table3))
+        )(*args, *(jnp.asarray(t) for t in tables_f))
         return out_r[:rows], out_i[:rows]
 
-    def run_bwd(p_r, p_i, rad, q_r, q_i, g_r, g_i):
-        rows = p_r.shape[0]
+    def run_bwd(e_r, e_i, q_r, q_i, g_r, g_i):
+        rows = e_r.shape[0]
         pad = (-rows) % _ROW_TILE
-        args = [_pad_rows(x, pad)
-                for x in (p_r, p_i, rad, q_r, q_i, g_r, g_i)]
+        args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i, g_r, g_i)]
         rp = rows + pad
-        table_t = np.ascontiguousarray(table3.transpose(0, 2, 1))
-        kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                                   ell_of_m=ell, n_l=n_l)
-        drad, dq_r, dq_i = pl.pallas_call(
+        kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2)
+        de_r, de_i, dq_r, dq_i = pl.pallas_call(
             kernel,
-            out_shape=(jax.ShapeDtypeStruct((rp, n_j * n_l), rad.dtype),
+            out_shape=(jax.ShapeDtypeStruct((rp, n_j * m1), e_r.dtype),
+                       jax.ShapeDtypeStruct((rp, n_j * m1), e_i.dtype),
                        jax.ShapeDtypeStruct((rp, n_j * m2), q_r.dtype),
                        jax.ShapeDtypeStruct((rp, n_j * m2), q_i.dtype)),
             grid=(rp // _ROW_TILE, ),
             in_specs=[_row_spec(n_j * m1), _row_spec(n_j * m1),
-                      _row_spec(n_j * n_l), _row_spec(n_j * m2),
-                      _row_spec(n_j * m2),
-                      pl.BlockSpec((m1, k, m2), lambda i: (0, 0, 0)),
-                      _row_spec(k), _row_spec(k)],
-            out_specs=(_row_spec(n_j * n_l), _row_spec(n_j * m2),
-                       _row_spec(n_j * m2)),
+                      _row_spec(n_j * m2), _row_spec(n_j * m2)] +
+                     [_full_spec(t.shape) for t in tables_b] +
+                     [_row_spec(k), _row_spec(k)],
+            out_specs=(_row_spec(n_j * m1), _row_spec(n_j * m1),
+                       _row_spec(n_j * m2), _row_spec(n_j * m2)),
             interpret=interpret,
-        )(*args[:5], jnp.asarray(table_t), *args[5:])
-        return drad[:rows], dq_r[:rows], dq_i[:rows]
+        )(*args[:4], *(jnp.asarray(t) for t in tables_b), *args[4:])
+        return de_r[:rows], de_i[:rows], dq_r[:rows], dq_i[:rows]
 
     @jax.custom_vjp
-    def fused(p_r, p_i, rad, q_r, q_i):
-        return run_fwd(p_r, p_i, rad, q_r, q_i)
+    def fused(e_r, e_i, q_r, q_i):
+        return run_fwd(e_r, e_i, q_r, q_i)
 
-    def fwd(p_r, p_i, rad, q_r, q_i):
-        return run_fwd(p_r, p_i, rad, q_r, q_i), (p_r, p_i, rad, q_r, q_i)
+    def fwd(e_r, e_i, q_r, q_i):
+        return run_fwd(e_r, e_i, q_r, q_i), (e_r, e_i, q_r, q_i)
 
     def bwd(res, grads):
-        p_r, p_i, rad, q_r, q_i = res
+        e_r, e_i, q_r, q_i = res
         g_r, g_i = grads
-        drad, dq_r, dq_i = run_bwd(p_r, p_i, rad, q_r, q_i, g_r, g_i)
-        zero = jnp.zeros_like(p_r)
-        return zero, zero, drad, dq_r, dq_i
+        return run_bwd(e_r, e_i, q_r, q_i, g_r, g_i)
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -226,17 +227,25 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
     rows = B * N * tau
 
     sph = jax.lax.stop_gradient(sph_packed)
-    # rows r = (b, i, t); lanes j-major. Leading-dim collapses + broadcasts
-    # only — XLA fuses these into the producing ops.
-    p = jnp.broadcast_to(sph[:, :, None], (B, N, tau, N, m1, 2))
-    p = p.reshape(rows, N * m1, 2)
-    rad = jnp.swapaxes(rad_feats, 2, 3).reshape(rows, N * n_l)
-    q = jnp.broadcast_to(jnp.swapaxes(atom_packed, 1, 2)[:, None],
-                         (B, N, tau, N, m2, 2)).reshape(rows, N * m2, 2)
+    # Edge rep in XLA, row layout (b, i, t) x lanes (j, m): the repeat-gather,
+    # multiply, and j<->tau transpose fuse into one producer; the radial VJP
+    # (and the atom rep's neighbor-sum VJP below) fall out automatically.
+    reps = np.array([2 * l + 1 for l in range(n_l)])
+    rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,
+                       total_repeat_length=m1)          # [B, N, N, tau, m1]
+    e_r = rad_m * sph[..., 0][:, :, :, None, :]
+    e_i = rad_m * sph[..., 1][:, :, :, None, :]
+    e_r = jnp.swapaxes(e_r, 2, 3).reshape(rows, N * m1)
+    e_i = jnp.swapaxes(e_i, 2, 3).reshape(rows, N * m1)
 
-    fused = _make_row_fn(N, m1, m2, n_l, k,
+    qshape = (B, N, tau, N, m2)
+    q_rt = jnp.swapaxes(atom_packed, 1, 2)[:, None]     # [B, 1, tau, N, m2, 2]
+    q_r = jnp.broadcast_to(q_rt[..., 0], qshape).reshape(rows, N * m2)
+    q_i = jnp.broadcast_to(q_rt[..., 1], qshape).reshape(rows, N * m2)
+
+    fused = _make_row_fn(N, m1, m2, k,
                          np.ascontiguousarray(table3, np.float32).tobytes(),
                          interpret)
-    out_r, out_i = fused(p[..., 0], p[..., 1], rad, q[..., 0], q[..., 1])
+    out_r, out_i = fused(e_r, e_i, q_r, q_i)
     out = jnp.stack([out_r, out_i], axis=-1)
     return out.reshape(B, N, tau, k, 2)
