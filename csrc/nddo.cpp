@@ -10,7 +10,9 @@
 //
 // Components:
 //   * STO overlap integrals via prolate-spheroidal A/B auxiliary functions
-//     (exact, generic n <= 3, l <= 1).
+//     (exact, generic n <= 3, l <= 2).
+//   * MNDO/d d shell on S: real-Gaunt-derived multipole components, analytic
+//     Slater-Condon one-center spd integrals, exact 5x5 d rotations.
 //   * Dewar-Thiel point-multipole two-center two-electron integrals with
 //     Klopman additive radii (rho1/rho2 solved by bisection from the
 //     one-center limits).
@@ -25,7 +27,12 @@
 
 #include <cmath>
 #include <cstring>
+#include <mutex>
 #include <vector>
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
 
 namespace nddo {
 
@@ -42,22 +49,33 @@ struct Elem {
   int n;
   double zs, zp, uss, upp, beta_s, beta_p, gss, gsp, gpp, gp2, hsp;
   bool has_p;
+  // MNDO/d extension (S only; see calculators/nddo_ref.py PM6_PARAMS for
+  // the calibration provenance of zd/udd/beta_d)
+  bool has_d;
+  double zd, udd, beta_d;
 };
 
 static const Elem kElems[] = {
     {1, 1.0, 1, 1.278558908, 0.0, -11.246958, 0.0, -8.465910008, 0.0,
-     14.448686, 0.0, 0.0, 0.0, 0.0, false},
+     14.448686, 0.0, 0.0, 0.0, 0.0, false, false, 0.0, 0.0, 0.0},
     {6, 4.0, 2, 2.047558, 1.702841, -51.089653, -39.937920, -15.385236,
-     -7.471929, 13.335519, 11.528134, 10.778326, 9.486212, 0.717322, true},
+     -7.471929, 13.335519, 11.528134, 10.778326, 9.486212, 0.717322, true,
+     false, 0.0, 0.0, 0.0},
     {7, 5.0, 2, 2.380406, 1.999246, -57.784823, -49.893036, -17.979377,
-     -15.055017, 12.357026, 9.636190, 12.570756, 10.576425, 2.871545, true},
+     -15.055017, 12.357026, 9.636190, 12.570756, 10.576425, 2.871545, true,
+     false, 0.0, 0.0, 0.0},
     {8, 6.0, 2, 5.421751, 2.270960, -91.678761, -70.460949, -65.635137,
-     -21.622604, 11.304042, 15.807424, 13.618205, 10.332765, 5.010801, true},
+     -21.622604, 11.304042, 15.807424, 13.618205, 10.332765, 5.010801, true,
+     false, 0.0, 0.0, 0.0},
     {9, 7.0, 2, 6.043849, 2.906722, -140.225626, -98.778044, -69.922593,
-     -30.448165, 12.446818, 18.496082, 8.417366, 13.239308, 2.853300, true},
+     -30.448165, 12.446818, 18.496082, 8.417366, 13.239308, 2.853300, true,
+     false, 0.0, 0.0, 0.0},
     {16, 6.0, 3, 2.192844, 1.841078, -47.531724, -39.910426, -13.827839,
-     -7.685341, 9.201926, 5.004267, 8.182069, 7.304130, 1.425827, true},
+     -7.685341, 9.201926, 5.004267, 8.182069, 7.304130, 1.425827, true,
+     true, 1.2, -22.0, -5.0},
 };
+
+static int n_orbs(const Elem& e) { return e.has_d ? 9 : (e.has_p ? 4 : 1); }
 
 static const Elem* elem(int z) {
   for (const auto& e : kElems)
@@ -139,9 +157,10 @@ static void aux_b(int kmax, double q, double* b) {
     b[k] = (k * b[k - 1] + (k % 2 == 0 ? eq : -eq) - emq) / q;
 }
 
-// small dense polynomial in (xi, eta); degrees stay below 10 for n <= 3
+// small dense polynomial in (xi, eta); degrees stay below 18 for n <= 3,
+// l <= 2 (the m = 2 delta overlaps carry ((xi^2-1)(1-eta^2))^2)
 struct Poly {
-  double c[10][10];
+  double c[18][18];
   int dx, dy;  // max degree used in xi / eta
   Poly() : dx(0), dy(0) { std::memset(c, 0, sizeof(c)); }
 };
@@ -160,24 +179,81 @@ static Poly poly_mul(const Poly& a, const Poly& b) {
   return out;
 }
 
+// P_l^m(x) = (1-x^2)^(m/2) Q_{l,m}(x), Condon-Shortley phase dropped (both
+// orbitals of an equal-m pair carry it, so it cancels). Ascending powers.
+static const double* assoc_q(int l, int m, int* deg) {
+  static const double q00[] = {1.0};
+  static const double q10[] = {0.0, 1.0};
+  static const double q11[] = {1.0};
+  static const double q20[] = {-0.5, 0.0, 1.5};
+  static const double q21[] = {0.0, 3.0};
+  static const double q22[] = {3.0};
+  switch (l * 10 + m) {
+    case 0: *deg = 0; return q00;
+    case 10: *deg = 1; return q10;
+    case 11: *deg = 0; return q11;
+    case 20: *deg = 2; return q20;
+    case 21: *deg = 1; return q21;
+    default: *deg = 0; return q22;  // (2, 2)
+  }
+}
+
+static Poly poly_pow(const Poly& base, int k) {
+  Poly out;
+  out.c[0][0] = 1.0;
+  for (int i = 0; i < k; ++i) out = poly_mul(out, base);
+  return out;
+}
+
+// (xi +- eta)^(l-m) Q_{l,m}(cos theta) homogenized to a polynomial; on
+// center A cos theta = (1+xi eta)/(xi+eta), on B (xi eta-1)/(xi-eta)
+static Poly angular_poly(int l, int m, bool side_a) {
+  Poly lin, den;
+  if (side_a) {
+    lin.c[0][0] = 1.0;
+    lin.c[1][1] = 1.0;
+    den.c[1][0] = 1.0;
+    den.c[0][1] = 1.0;
+  } else {
+    lin.c[0][0] = -1.0;
+    lin.c[1][1] = 1.0;
+    den.c[1][0] = 1.0;
+    den.c[0][1] = -1.0;
+  }
+  lin.dx = lin.dy = den.dx = den.dy = 1;
+  int deg;
+  const double* q = assoc_q(l, m, &deg);
+  Poly out;
+  out.dx = out.dy = 0;
+  for (int k = 0; k <= deg; ++k) {
+    if (q[k] == 0.0) continue;
+    Poly term = poly_mul(poly_pow(lin, k), poly_pow(den, l - m - k));
+    const int nx = term.dx > out.dx ? term.dx : out.dx;
+    const int ny = term.dy > out.dy ? term.dy : out.dy;
+    for (int i = 0; i <= term.dx; ++i)
+      for (int j = 0; j <= term.dy; ++j) out.c[i][j] += q[k] * term.c[i][j];
+    out.dx = nx;
+    out.dy = ny;
+  }
+  return out;
+}
+
+static double ang_norm(int l, int m) {
+  return std::sqrt((2 * l + 1) / 2.0 * factorial(l - m) / factorial(l + m));
+}
+
 static double sto_overlap(int na, int la, double za, int nb, int lb, double zb,
                           int m, double r) {
-  if ((la == 0 || lb == 0) && m == 1) return 0.0;
+  if (m > la || m > lb) return 0.0;
   const double p = 0.5 * r * (za + zb);
   const double q = 0.5 * r * (za - zb);
-  Poly xi_plus_eta, xi_minus_eta, one_plus_xieta, xieta_minus_one, pi_factor;
+  Poly xi_plus_eta, xi_minus_eta, pi_factor;
   xi_plus_eta.c[1][0] = 1.0;
   xi_plus_eta.c[0][1] = 1.0;
   xi_plus_eta.dx = xi_plus_eta.dy = 1;
   xi_minus_eta.c[1][0] = 1.0;
   xi_minus_eta.c[0][1] = -1.0;
   xi_minus_eta.dx = xi_minus_eta.dy = 1;
-  one_plus_xieta.c[0][0] = 1.0;
-  one_plus_xieta.c[1][1] = 1.0;
-  one_plus_xieta.dx = one_plus_xieta.dy = 1;
-  xieta_minus_one.c[0][0] = -1.0;
-  xieta_minus_one.c[1][1] = 1.0;
-  xieta_minus_one.dx = xieta_minus_one.dy = 1;
   // (xi^2 - 1)(1 - eta^2)
   pi_factor.c[0][0] = -1.0;
   pi_factor.c[0][2] = 1.0;
@@ -185,23 +261,15 @@ static double sto_overlap(int na, int la, double za, int nb, int lb, double zb,
   pi_factor.c[2][2] = -1.0;
   pi_factor.dx = pi_factor.dy = 2;
 
-  Poly poly;
-  poly.c[0][0] = 1.0;
-  for (int k = 0; k < na - la; ++k) poly = poly_mul(poly, xi_plus_eta);
-  for (int k = 0; k < nb - lb; ++k) poly = poly_mul(poly, xi_minus_eta);
-  double ang;
-  if (m == 0) {
-    if (la == 1) poly = poly_mul(poly, one_plus_xieta);
-    if (lb == 1) poly = poly_mul(poly, xieta_minus_one);
-    const double s3h = std::sqrt(3.0) / 2.0;
-    ang = (la == 0 && lb == 0) ? 0.5 : (la == 1 && lb == 1) ? 1.5 : s3h;
-  } else {
-    poly = poly_mul(poly, pi_factor);
-    ang = 0.75;
-  }
+  Poly poly = poly_pow(xi_plus_eta, na - la);
+  poly = poly_mul(poly, poly_pow(xi_minus_eta, nb - lb));
+  poly = poly_mul(poly, angular_poly(la, m, true));
+  poly = poly_mul(poly, angular_poly(lb, m, false));
+  if (m) poly = poly_mul(poly, poly_pow(pi_factor, m));
+  const double ang = ang_norm(la, m) * ang_norm(lb, m);
   const double cnst = sto_norm(na, za) * sto_norm(nb, zb) *
                       std::pow(0.5 * r, na + nb + 1) * ang;
-  double av[12], bv[12];
+  double av[20], bv[20];
   aux_a(poly.dx, p, av);
   aux_b(poly.dy, q, bv);
   double total = 0.0;
@@ -426,6 +494,574 @@ static void local_frame(const double rvec[3], double u[3][3]) {
 }
 
 // ---------------------------------------------------------------------------
+// d-shell machinery (MNDO/d formalism) — C++ port of the derived-from-first-
+// principles oracle in calculators/nddo_ref.py: real-Gaunt coefficients by
+// exact quadrature, Slater-Condon radial integrals in closed form, point-
+// multipole configs by moment matching, Klopman radii from one-center
+// limits. Orbital order: s, px, py, pz, dz2, dxz, dyz, dx2-y2, dxy.
+// ---------------------------------------------------------------------------
+
+static const int kOrbL[9] = {0, 1, 1, 1, 2, 2, 2, 2, 2};
+static const int kOrbT[9] = {0, 1, 2, 0, 0, 1, 2, 3, 4};
+
+// Gauss-Legendre nodes/weights on [-1, 1] by Newton iteration
+static void gauss_legendre(int n, double* x, double* w) {
+  for (int i = 0; i < n; ++i) {
+    double t = std::cos(M_PI * (i + 0.75) / (n + 0.5));
+    for (int it = 0; it < 100; ++it) {
+      double p0 = 1.0, p1 = t;
+      for (int k = 2; k <= n; ++k) {
+        const double p2 = ((2 * k - 1) * t * p1 - (k - 1) * p0) / k;
+        p0 = p1;
+        p1 = p2;
+      }
+      const double dp = n * (t * p1 - p0) / (t * t - 1.0);
+      const double dt = p1 / dp;
+      t -= dt;
+      if (std::fabs(dt) < 1e-15) break;
+    }
+    double p0 = 1.0, p1 = t;
+    for (int k = 2; k <= n; ++k) {
+      const double p2 = ((2 * k - 1) * t * p1 - (k - 1) * p0) / k;
+      p0 = p1;
+      p1 = p2;
+    }
+    const double dp = n * (t * p1 - p0) / (t * t - 1.0);
+    x[i] = t;
+    w[i] = 2.0 / ((1.0 - t * t) * dp * dp);
+  }
+}
+
+// associated Legendre P_l^m without the Condon-Shortley phase
+static double legendre_pm(int l, int m, double x) {
+  double pmm = 1.0;
+  if (m > 0) {
+    double fact = 1.0;
+    for (int i = 1; i < 2 * m; i += 2) fact *= i;
+    pmm = std::pow(std::sqrt(std::max(0.0, 1.0 - x * x)), m) * fact;
+  }
+  if (l == m) return pmm;
+  double pm1 = x * (2 * m + 1) * pmm;
+  if (l == m + 1) return pm1;
+  for (int ll = m + 2; ll <= l; ++ll) {
+    const double p = ((2 * ll - 1) * x * pm1 - (ll + m - 1) * pmm) / (ll - m);
+    pmm = pm1;
+    pm1 = p;
+  }
+  return pm1;
+}
+
+// real spherical harmonic S_{l,t}: t = 0 -> m = 0; odd t = 2m-1 -> cos m phi;
+// even t = 2m -> sin m phi
+static double real_sph(int l, int t, const double xyz[3]) {
+  const int m = (t + 1) / 2;
+  const double ct = std::max(-1.0, std::min(1.0, xyz[2]));
+  const double norm =
+      std::sqrt((2 * l + 1) / (4.0 * M_PI) * factorial(l - m) /
+                factorial(l + m) * (m ? 2.0 : 1.0));
+  const double plm = legendre_pm(l, m, ct);
+  if (m == 0) return norm * plm;
+  const double phi = std::atan2(xyz[1], xyz[0]);
+  return norm * plm * (t % 2 == 1 ? std::cos(m * phi) : std::sin(m * phi));
+}
+
+// real Gaunt coefficients int S_{l1,t1} S_{l2,t2} S_{lo,to} dOmega over the
+// 9-orbital basis x L <= 4, precomputed once (exact 24 x 48 product grid)
+struct GauntTable {
+  // [mu][nu][lo][to]
+  double g[9][9][5][9];
+  GauntTable() {
+    constexpr int kNt = 24, kNp = 48;
+    double xs[kNt], ws[kNt];
+    gauss_legendre(kNt, xs, ws);
+    std::memset(g, 0, sizeof(g));
+    for (int it = 0; it < kNt; ++it) {
+      const double ct = xs[it], st = std::sqrt(1.0 - ct * ct);
+      for (int ip = 0; ip < kNp; ++ip) {
+        const double phi = (ip + 0.5) * (2.0 * M_PI / kNp);
+        const double xyz[3] = {st * std::cos(phi), st * std::sin(phi), ct};
+        const double wq = ws[it] * (2.0 * M_PI / kNp);
+        double sv[9], so[5][9];
+        for (int mu = 0; mu < 9; ++mu)
+          sv[mu] = real_sph(kOrbL[mu], kOrbT[mu], xyz);
+        for (int lo = 0; lo <= 4; ++lo)
+          for (int to = 0; to < 2 * lo + 1; ++to)
+            so[lo][to] = real_sph(lo, to, xyz);
+        for (int mu = 0; mu < 9; ++mu)
+          for (int nu = 0; nu < 9; ++nu)
+            for (int lo = 0; lo <= 4; ++lo)
+              for (int to = 0; to < 2 * lo + 1; ++to)
+                g[mu][nu][lo][to] += wq * sv[mu] * sv[nu] * so[lo][to];
+      }
+    }
+    for (auto& a : g)
+      for (auto& b : a)
+        for (auto& c : b)
+          for (double& v : c)
+            if (std::fabs(v) < 1e-12) v = 0.0;
+  }
+};
+
+static const GauntTable& gaunt_table() {
+  static const GauntTable t;
+  return t;
+}
+
+static double radial_moment(int n1, double z1, int n2, double z2, int lq) {
+  return sto_norm(n1, z1) * sto_norm(n2, z2) * factorial(n1 + n2 + lq) /
+         std::pow(z1 + z2, n1 + n2 + lq + 1);
+}
+
+// Slater-Condon R^k(ab; cd): electron 1 carries (a, c), electron 2 (b, d)
+static double slater_rk(int k, int na, double za, int nb, double zb, int nc,
+                        double zc, int nd, double zd) {
+  const int p1 = na + nc, p2 = nb + nd;
+  const double alpha = za + zc, beta = zb + zd;
+  const double norm =
+      sto_norm(na, za) * sto_norm(nb, zb) * sto_norm(nc, zc) * sto_norm(nd, zd);
+  auto a_int = [](int m, double gg) {
+    return factorial(m) / std::pow(gg, m + 1);
+  };
+  const int m1 = p2 + k, m2 = p2 - k - 1;
+  double total = a_int(m1, beta) * a_int(p1 - k - 1, alpha);
+  for (int j = 0; j <= m1; ++j)
+    total -= a_int(m1, beta) * std::pow(beta, j) / factorial(j) *
+             a_int(p1 - k - 1 + j, alpha + beta);
+  for (int j = 0; j <= m2; ++j)
+    total += a_int(m2, beta) * std::pow(beta, j) / factorial(j) *
+             a_int(p1 + k + j, alpha + beta);
+  return norm * total;
+}
+
+// R^k with electron-1 shells (s1a, s1b) and electron-2 shells (s2a, s2b)
+// (0 = s, 1 = p, 2 = d), basis exponents (no internal set parameterized)
+static double one_center_rk(const Elem& e, int k, int s1a, int s1b, int s2a,
+                            int s2b) {
+  const double zz[3] = {e.zs, e.zp, e.zd};
+  return slater_rk(k, e.n, zz[s1a], e.n, zz[s2a], e.n, zz[s1b], e.n, zz[s2b]);
+}
+
+// one-center [9][9][9][9] ERI tensor: parameterized sp block + Gaunt-built
+// analytic d-involving entries
+static void one_center_eri_spd(const Elem& e, double* t9) {
+  const GauntTable& gt = gaunt_table();
+  std::memset(t9, 0, sizeof(double) * 6561);
+  auto at = [&](int a, int b, int c, int d) -> double& {
+    return t9[((a * 9 + b) * 9 + c) * 9 + d];
+  };
+  for (int mu = 0; mu < 9; ++mu)
+    for (int nu = mu; nu < 9; ++nu)
+      for (int la = 0; la < 9; ++la)
+        for (int sg = la; sg < 9; ++sg) {
+          const int lmx = std::max(std::max(kOrbL[mu], kOrbL[nu]),
+                                   std::max(kOrbL[la], kOrbL[sg]));
+          if (lmx < 2) continue;  // sp block parameterized below
+          double val = 0.0;
+          for (int lo = 0; lo <= 4; ++lo) {
+            double rk = 0.0;
+            bool have_rk = false;
+            for (int to = 0; to < 2 * lo + 1; ++to) {
+              const double g1 = gt.g[mu][nu][lo][to];
+              if (g1 == 0.0) continue;
+              const double g2 = gt.g[la][sg][lo][to];
+              if (g2 == 0.0) continue;
+              if (!have_rk) {
+                rk = one_center_rk(e, lo, kOrbL[mu], kOrbL[nu], kOrbL[la],
+                                   kOrbL[sg]);
+                have_rk = true;
+              }
+              val += 4.0 * M_PI / (2 * lo + 1) * rk * g1 * g2;
+            }
+          }
+          if (val != 0.0) {
+            at(mu, nu, la, sg) = at(nu, mu, la, sg) = val;
+            at(mu, nu, sg, la) = at(nu, mu, sg, la) = val;
+          }
+        }
+  const double g = 1.0 / kEvPerHartree;
+  at(0, 0, 0, 0) = e.gss * g;
+  const double hpp = 0.5 * (e.gpp - e.gp2);
+  for (int i = 1; i < 4; ++i) {
+    at(0, 0, i, i) = at(i, i, 0, 0) = e.gsp * g;
+    at(i, i, i, i) = e.gpp * g;
+    at(0, i, 0, i) = at(i, 0, 0, i) = e.hsp * g;
+    at(0, i, i, 0) = at(i, 0, i, 0) = e.hsp * g;
+    for (int j = 1; j < 4; ++j)
+      if (i != j) {
+        at(i, i, j, j) = e.gp2 * g;
+        at(i, j, i, j) = at(i, j, j, i) = hpp * g;
+      }
+  }
+}
+
+// point-charge geometry per multipole component (L, t) at separation d
+struct ChargePt {
+  double q;
+  double xyz[3];
+};
+
+static int config_charges(int lo, int to, double d, ChargePt* out) {
+  auto set = [](ChargePt& c, double q, double x, double y, double z) {
+    c.q = q;
+    c.xyz[0] = x;
+    c.xyz[1] = y;
+    c.xyz[2] = z;
+  };
+  if (lo == 0) {
+    set(out[0], 1.0, 0, 0, 0);
+    return 1;
+  }
+  if (lo == 1) {
+    double e[3] = {0, 0, 0};
+    e[to == 0 ? 2 : (to == 1 ? 0 : 1)] = 1.0;
+    set(out[0], 0.5, d * e[0], d * e[1], d * e[2]);
+    set(out[1], -0.5, -d * e[0], -d * e[1], -d * e[2]);
+    return 2;
+  }
+  if (to == 0) {  // linear quadrupole along z
+    set(out[0], 0.25, 0, 0, 2 * d);
+    set(out[1], 0.25, 0, 0, -2 * d);
+    set(out[2], -0.5, 0, 0, 0);
+    return 3;
+  }
+  if (to == 1 || to == 2) {  // square in the (x,z) / (y,z) plane
+    const double ex = to == 1 ? d : 0.0, ey = to == 1 ? 0.0 : d;
+    set(out[0], 0.25, ex, ey, d);
+    set(out[1], -0.25, ex, ey, -d);
+    set(out[2], -0.25, -ex, -ey, d);
+    set(out[3], 0.25, -ex, -ey, -d);
+    return 4;
+  }
+  if (to == 3) {  // x^2 - y^2
+    const double s = std::sqrt(2.0) * d;
+    set(out[0], 0.25, s, 0, 0);
+    set(out[1], 0.25, -s, 0, 0);
+    set(out[2], -0.25, 0, s, 0);
+    set(out[3], -0.25, 0, -s, 0);
+    return 4;
+  }
+  // to == 4: xy square
+  set(out[0], 0.25, d, d, 0);
+  set(out[1], 0.25, -d, -d, 0);
+  set(out[2], -0.25, d, -d, 0);
+  set(out[3], -0.25, -d, d, 0);
+  return 4;
+}
+
+static double config_moment_unit(int lo, int to) {
+  ChargePt c[4];
+  const int n = config_charges(lo, to, 1.0, c);
+  double total = 0.0;
+  for (int i = 0; i < n; ++i) {
+    const double rn = std::sqrt(c[i].xyz[0] * c[i].xyz[0] +
+                                c[i].xyz[1] * c[i].xyz[1] +
+                                c[i].xyz[2] * c[i].xyz[2]);
+    if (rn < 1e-15) continue;
+    const double unit[3] = {c[i].xyz[0] / rn, c[i].xyz[1] / rn,
+                            c[i].xyz[2] / rn};
+    total += c[i].q * std::pow(rn, lo) *
+             std::sqrt(4.0 * M_PI / (2 * lo + 1)) * real_sph(lo, to, unit);
+  }
+  return total;
+}
+
+static double kernel_self_interaction(int lo, int to, double d, double rho) {
+  ChargePt c[4];
+  const int n = config_charges(lo, to, d, c);
+  double total = 0.0;
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      const double dx = c[i].xyz[0] - c[j].xyz[0];
+      const double dy = c[i].xyz[1] - c[j].xyz[1];
+      const double dz = c[i].xyz[2] - c[j].xyz[2];
+      total += c[i].q * c[j].q /
+               std::sqrt(dx * dx + dy * dy + dz * dz + 4.0 * rho * rho);
+    }
+  return total;
+}
+
+// one multipole component of a local-frame orbital-pair distribution
+struct PairComponent {
+  int l;
+  double rho;
+  int n_charges;
+  ChargePt charges[8];
+};
+
+struct SpdPairTable {  // per-element: components for every (mu <= nu) pair
+  int n_comp[45];
+  PairComponent comp[45][3];
+};
+
+static int pair_index9(int mu, int nu) {  // mu <= nu upper-triangle index
+  return mu * 9 - mu * (mu + 1) / 2 + nu;
+}
+
+// canonical orbital pair per d-involving (shell_a, shell_b, L)
+struct CanonKey {
+  int sa, sb, lo, mu, nu;
+};
+static const CanonKey kCanon[] = {
+    {0, 2, 2, 0, 4}, {1, 2, 1, 3, 4}, {2, 2, 2, 4, 4}};
+
+static void build_pair_table(const Elem& e, SpdPairTable* table) {
+  const GauntTable& gt = gaunt_table();
+  const Derived der = derived_params(e);
+  const double zeta[3] = {e.zs, e.zp, e.zd};
+  const int size = n_orbs(e);
+  // D separations and Klopman radii per (shell pair, L)
+  double dsep[3][3][3] = {};
+  double rho[3][3][3] = {};
+  rho[0][0][0] = der.rho[0];
+  rho[1][1][0] = der.rho[0];
+  rho[0][1][1] = der.rho[1];
+  rho[1][1][2] = der.rho[2];
+  dsep[0][1][1] = dipole_sep(e);
+  dsep[1][1][2] = quadrupole_sep(e);
+  for (const CanonKey& ck : kCanon) {
+    const int lm = kOrbL[ck.mu];
+    const int ln = kOrbL[ck.nu];
+    int to_c = -1;
+    double gq = 0.0;
+    for (int to = 0; to < 2 * ck.lo + 1; ++to)
+      if (gt.g[ck.mu][ck.nu][ck.lo][to] != 0.0) {
+        to_c = to;
+        gq = gt.g[ck.mu][ck.nu][ck.lo][to];
+        break;
+      }
+    const double moment =
+        radial_moment(e.n, zeta[ck.sa], e.n, zeta[ck.sb], ck.lo) *
+        std::sqrt(4.0 * M_PI / (2 * ck.lo + 1)) * gq;
+    const double d = std::pow(
+        std::fabs(moment) / std::fabs(config_moment_unit(ck.lo, to_c)),
+        1.0 / ck.lo);
+    dsep[ck.sa][ck.sb][ck.lo] = d;
+    const double target = 4.0 * M_PI / (2 * ck.lo + 1) *
+                          one_center_rk(e, ck.lo, lm, ln, lm, ln) * gq * gq;
+    rho[ck.sa][ck.sb][ck.lo] = solve_rho(target, [&](double r) {
+      return kernel_self_interaction(ck.lo, to_c, d, r);
+    });
+  }
+  if (e.has_d) rho[2][2][0] = 0.5 / one_center_rk(e, 0, 2, 2, 2, 2);
+  // classic sp configs for the sp block; component scheme for d pairs
+  for (int m = 0; m < size; ++m)
+    for (int nn = m; nn < size; ++nn) {
+      const int pi = pair_index9(m, nn);
+      table->n_comp[pi] = 0;
+      if (m < 4 && nn < 4) {
+        // map to the classic _PAIRS order configs
+        int pair_pi = -1;
+        for (int p = 0; p < 10; ++p)
+          if ((kPairIdx[p][0] == m && kPairIdx[p][1] == nn) ||
+              (kPairIdx[p][0] == nn && kPairIdx[p][1] == m))
+            pair_pi = p;
+        ChargeCfg cfgs[2];
+        const int nc = pair_configs(pair_pi, der.d1, der.d2, cfgs);
+        for (int ic = 0; ic < nc; ++ic) {
+          PairComponent& pc = table->comp[pi][table->n_comp[pi]++];
+          pc.l = cfgs[ic].l;
+          pc.rho = der.rho[cfgs[ic].l];
+          pc.n_charges = cfgs[ic].count;
+          for (int u = 0; u < cfgs[ic].count; ++u) {
+            pc.charges[u].q = cfgs[ic].q[u];
+            for (int x = 0; x < 3; ++x)
+              pc.charges[u].xyz[x] = cfgs[ic].xyz[u][x];
+          }
+        }
+        continue;
+      }
+      const int lm = kOrbL[m];
+      const int ln = kOrbL[nn];
+      int sa = lm, sb = ln;  // shell index == angular momentum (s, p, d)
+      if (sa > sb) std::swap(sa, sb);
+      for (int lo = 0; lo <= 2; ++lo) {
+        PairComponent pc;
+        pc.l = lo;
+        pc.rho = rho[sa][sb][lo];
+        pc.n_charges = 0;
+        for (int to = 0; to < 2 * lo + 1; ++to) {
+          const double gq = gt.g[m][nn][lo][to];
+          if (gq == 0.0) continue;
+          if (lo == 0) {
+            if (m == nn) {
+              pc.charges[pc.n_charges].q = 1.0;
+              std::memset(pc.charges[pc.n_charges].xyz, 0, sizeof(double) * 3);
+              ++pc.n_charges;
+            }
+            continue;
+          }
+          const double dref = dsep[sa][sb][lo];
+          const double moment =
+              radial_moment(e.n, zeta[sa], e.n, zeta[sb], lo) *
+              std::sqrt(4.0 * M_PI / (2 * lo + 1)) * gq;
+          const double scale =
+              moment / (config_moment_unit(lo, to) * std::pow(dref, lo));
+          ChargePt cc[4];
+          const int ncc = config_charges(lo, to, dref, cc);
+          for (int u = 0; u < ncc; ++u) {
+            if (cc[u].q * scale == 0.0) continue;
+            pc.charges[pc.n_charges] = cc[u];
+            pc.charges[pc.n_charges].q *= scale;
+            ++pc.n_charges;
+          }
+        }
+        if (pc.n_charges) table->comp[pi][table->n_comp[pi]++] = pc;
+      }
+    }
+}
+
+// cached per-element pair tables (thread-safe one-time init)
+static const SpdPairTable* spd_pair_table(const Elem& e) {
+  constexpr int kMax = sizeof(kElems) / sizeof(kElems[0]);
+  static SpdPairTable tables[kMax];
+  static std::once_flag flags[kMax];
+  int idx = -1;
+  for (int i = 0; i < kMax; ++i)
+    if (kElems[i].z == e.z) idx = i;
+  std::call_once(flags[idx], [&] { build_pair_table(e, &tables[idx]); });
+  return &tables[idx];
+}
+
+// exact 5x5 real-d rotation from the quadratic-form representation
+static void d_rotation(const double u[3][3], double d5[5][5]) {
+  const double s2 = std::sqrt(2.0), s6 = std::sqrt(6.0);
+  double forms[5][3][3] = {};
+  forms[0][0][0] = -1.0 / s6;
+  forms[0][1][1] = -1.0 / s6;
+  forms[0][2][2] = 2.0 / s6;
+  forms[1][0][2] = forms[1][2][0] = 1.0 / s2;
+  forms[2][1][2] = forms[2][2][1] = 1.0 / s2;
+  forms[3][0][0] = 1.0 / s2;
+  forms[3][1][1] = -1.0 / s2;
+  forms[4][0][1] = forms[4][1][0] = 1.0 / s2;
+  for (int j = 0; j < 5; ++j) {
+    double rot[3][3] = {};
+    for (int a = 0; a < 3; ++a)
+      for (int d = 0; d < 3; ++d) {
+        double acc = 0.0;
+        for (int b = 0; b < 3; ++b)
+          for (int c = 0; c < 3; ++c)
+            acc += u[a][b] * forms[j][b][c] * u[d][c];
+        rot[a][d] = acc;
+      }
+    for (int i = 0; i < 5; ++i) {
+      double acc = 0.0;
+      for (int a = 0; a < 3; ++a)
+        for (int d = 0; d < 3; ++d) acc += forms[i][a][d] * rot[a][d];
+      d5[i][j] = acc;
+    }
+  }
+}
+
+// size x size orbital rotation: 1 (+) u (+) d_rotation(u)
+static void orbital_rotation(const double u[3][3], int size, double w[9][9]) {
+  std::memset(w, 0, sizeof(double) * 81);
+  w[0][0] = 1.0;
+  if (size > 1)
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) w[1 + i][1 + j] = u[i][j];
+  if (size > 4) {
+    double d5[5][5];
+    d_rotation(u, d5);
+    for (int i = 0; i < 5; ++i)
+      for (int j = 0; j < 5; ++j) w[4 + i][4 + j] = d5[i][j];
+  }
+}
+
+// generic local-frame two-center ERI tensor [sa, sa, sb, sb] (row-major)
+// for pairs where at least one atom carries a d shell
+static void two_center_eri_generic(const Elem& ea, const Elem& eb, double r,
+                                   std::vector<double>& out) {
+  const int sa = n_orbs(ea), sb = n_orbs(eb);
+  const SpdPairTable* ta = spd_pair_table(ea);
+  const SpdPairTable* tb = spd_pair_table(eb);
+  out.assign(size_t(sa) * sa * sb * sb, 0.0);
+  auto at = [&](int i, int j, int k, int l) -> double& {
+    return out[((size_t(i) * sa + j) * sb + k) * sb + l];
+  };
+  for (int i = 0; i < sa; ++i)
+    for (int j = i; j < sa; ++j) {
+      const int pi = pair_index9(i, j);
+      if (!ta->n_comp[pi]) continue;
+      for (int k = 0; k < sb; ++k)
+        for (int l = k; l < sb; ++l) {
+          const int pj = pair_index9(k, l);
+          if (!tb->n_comp[pj]) continue;
+          double total = 0.0;
+          for (int ca = 0; ca < ta->n_comp[pi]; ++ca) {
+            const PairComponent& pca = ta->comp[pi][ca];
+            for (int cb = 0; cb < tb->n_comp[pj]; ++cb) {
+              const PairComponent& pcb = tb->comp[pj][cb];
+              const double add2 =
+                  (pca.rho + pcb.rho) * (pca.rho + pcb.rho);
+              for (int u = 0; u < pca.n_charges; ++u)
+                for (int v = 0; v < pcb.n_charges; ++v) {
+                  const double dx =
+                      pca.charges[u].xyz[0] - pcb.charges[v].xyz[0];
+                  const double dy =
+                      pca.charges[u].xyz[1] - pcb.charges[v].xyz[1];
+                  const double dz =
+                      pca.charges[u].xyz[2] - (pcb.charges[v].xyz[2] + r);
+                  total += pca.charges[u].q * pcb.charges[v].q /
+                           std::sqrt(dx * dx + dy * dy + dz * dz + add2);
+                }
+            }
+          }
+          at(i, j, k, l) = at(j, i, k, l) = total;
+          at(i, j, l, k) = at(j, i, l, k) = total;
+        }
+    }
+}
+
+// rotate a [sa, sa, sb, sb] local tensor to the global frame with per-atom
+// orbital rotations wa, wb (one index at a time)
+static void rotate_eri_generic(std::vector<double>& t, int sa, int sb,
+                               const double wa[9][9], const double wb[9][9]) {
+  std::vector<double> tmp(t.size());
+  const size_t n2 = size_t(sa) * sb * sb;   // stride of first index
+  const size_t n3 = size_t(sb) * sb;        // stride of second index
+  // index 0
+  std::fill(tmp.begin(), tmp.end(), 0.0);
+  for (int a = 0; a < sa; ++a)
+    for (int m = 0; m < sa; ++m) {
+      const double wv = wa[a][m];
+      if (wv == 0.0) continue;
+      for (size_t rest = 0; rest < n2; ++rest)
+        tmp[a * n2 + rest] += wv * t[m * n2 + rest];
+    }
+  t.swap(tmp);
+  // index 1
+  std::fill(tmp.begin(), tmp.end(), 0.0);
+  for (int a = 0; a < sa; ++a)
+    for (int b = 0; b < sa; ++b)
+      for (int m = 0; m < sa; ++m) {
+        const double wv = wa[b][m];
+        if (wv == 0.0) continue;
+        for (size_t rest = 0; rest < n3; ++rest)
+          tmp[a * n2 + b * n3 + rest] += wv * t[a * n2 + m * n3 + rest];
+      }
+  t.swap(tmp);
+  // index 2
+  std::fill(tmp.begin(), tmp.end(), 0.0);
+  for (size_t ab = 0; ab < size_t(sa) * sa; ++ab)
+    for (int c = 0; c < sb; ++c)
+      for (int m = 0; m < sb; ++m) {
+        const double wv = wb[c][m];
+        if (wv == 0.0) continue;
+        for (int d = 0; d < sb; ++d)
+          tmp[ab * n3 + c * sb + d] += wv * t[ab * n3 + m * sb + d];
+      }
+  t.swap(tmp);
+  // index 3
+  std::fill(tmp.begin(), tmp.end(), 0.0);
+  for (size_t abc = 0; abc < size_t(sa) * sa * sb; ++abc)
+    for (int d = 0; d < sb; ++d)
+      for (int m = 0; m < sb; ++m)
+        tmp[abc * sb + d] += wb[d][m] * t[abc * sb + m];
+  t.swap(tmp);
+}
+
+// ---------------------------------------------------------------------------
 // Symmetric eigensolver: Householder tridiagonalization + implicit QL
 // ---------------------------------------------------------------------------
 static void tred2(std::vector<double>& a, int n, std::vector<double>& d,
@@ -577,9 +1213,11 @@ struct Molecule {
   std::vector<const Elem*> el;
   std::vector<int> offset, size;
   std::vector<double> hcore;                 // [n_orb * n_orb]
-  std::vector<std::vector<double>> eri2c;    // per pair (a<b): 256 doubles
+  // per pair (a<b): exact-dim [sa, sa, sb, sb] row-major tensor
+  std::vector<std::vector<double>> eri2c;
   std::vector<std::pair<int, int>> pairs;    // (a, b) with a < b
-  std::vector<double> eri1c;                 // per atom: 256 doubles
+  // per atom: exact-dim [s, s, s, s] row-major tensor
+  std::vector<std::vector<double>> eri1c;
   double e_nuc = 0.0;
   bool ok = false;
 };
@@ -614,7 +1252,7 @@ static bool build(Molecule& mol, const int* zs, const double* pos_ang, int n,
     mol.el[i] = elem(zs[i]);
     if (!mol.el[i]) return false;
     mol.offset[i] = off;
-    mol.size[i] = mol.el[i]->has_p ? 4 : 1;
+    mol.size[i] = n_orbs(*mol.el[i]);
     off += mol.size[i];
     zval_sum += mol.el[i]->zval;
     zsum += zs[i];
@@ -639,8 +1277,10 @@ static bool build(Molecule& mol, const int* zs, const double* pos_ang, int n,
     const Elem& ea = *mol.el[a];
     const int oa = mol.offset[a], sa = mol.size[a];
     mol.hcore[oa * norb + oa] = ea.uss / kEvPerHartree;
-    for (int k = 1; k < sa; ++k)
+    for (int k = 1; k < (sa < 4 ? sa : 4); ++k)
       mol.hcore[(oa + k) * norb + oa + k] = ea.upp / kEvPerHartree;
+    for (int k = 4; k < sa; ++k)
+      mol.hcore[(oa + k) * norb + oa + k] = ea.udd / kEvPerHartree;
   }
   for (int a = 0; a < n; ++a) {
     const Elem& ea = *mol.el[a];
@@ -655,72 +1295,112 @@ static bool build(Molecule& mol, const int* zs, const double* pos_ang, int n,
       if (r < 1e-6) return false;
       double u[3][3];
       local_frame(rvec, u);
-      double w[4][4];
-      std::memset(w, 0, sizeof(w));
-      w[0][0] = 1.0;
-      for (int i = 0; i < 3; ++i)
-        for (int j = 0; j < 3; ++j) w[1 + i][1 + j] = u[i][j];
-      double m_loc[10][10];
-      eri_local(ea, der[a], eb, der[b], r, m_loc);
-      mol.eri2c.emplace_back(256, 0.0);
       mol.pairs.emplace_back(a, b);
-      double(&t)[4][4][4][4] =
-          *reinterpret_cast<double(*)[4][4][4][4]>(mol.eri2c.back().data());
-      rotate_eri(m_loc, w, t);
+      mol.eri2c.emplace_back();
+      std::vector<double>& tv = mol.eri2c.back();
+      if (ea.has_d || eb.has_d) {
+        double wa[9][9], wb[9][9];
+        orbital_rotation(u, sa, wa);
+        orbital_rotation(u, sb, wb);
+        two_center_eri_generic(ea, eb, r, tv);
+        rotate_eri_generic(tv, sa, sb, wa, wb);
+      } else {
+        double w[4][4];
+        std::memset(w, 0, sizeof(w));
+        w[0][0] = 1.0;
+        for (int i = 0; i < 3; ++i)
+          for (int j = 0; j < 3; ++j) w[1 + i][1 + j] = u[i][j];
+        double m_loc[10][10];
+        eri_local(ea, der[a], eb, der[b], r, m_loc);
+        double t4[4][4][4][4];
+        rotate_eri(m_loc, w, t4);
+        tv.resize(size_t(sa) * sa * sb * sb);
+        for (int i = 0; i < sa; ++i)
+          for (int j = 0; j < sa; ++j)
+            for (int k = 0; k < sb; ++k)
+              for (int l = 0; l < sb; ++l)
+                tv[((size_t(i) * sa + j) * sb + k) * sb + l] = t4[i][j][k][l];
+      }
+      auto tat = [&](int i, int j, int k, int l) {
+        return tv[((size_t(i) * sa + j) * sb + k) * sb + l];
+      };
       // core-electron attraction
       for (int i = 0; i < sa; ++i)
         for (int j = 0; j < sa; ++j)
-          mol.hcore[(oa + i) * norb + oa + j] -= eb.zval * t[i][j][0][0];
+          mol.hcore[(oa + i) * norb + oa + j] -= eb.zval * tat(i, j, 0, 0);
       for (int k = 0; k < sb; ++k)
         for (int l = 0; l < sb; ++l)
-          mol.hcore[(ob + k) * norb + ob + l] -= ea.zval * t[0][0][k][l];
-      // resonance
-      double s_loc[4][4];
+          mol.hcore[(ob + k) * norb + ob + l] -= ea.zval * tat(0, 0, k, l);
+      // resonance: generic sigma/pi/delta local overlap block
+      static const int kLmOrbs[3][3][2] = {  // [l][m] -> local orbital ids
+          {{0, -1}, {-1, -1}, {-1, -1}},
+          {{3, -1}, {1, 2}, {-1, -1}},
+          {{4, -1}, {5, 6}, {7, 8}}};
+      double s_loc[9][9];
       std::memset(s_loc, 0, sizeof(s_loc));
-      s_loc[0][0] = sto_overlap(ea.n, 0, ea.zs, eb.n, 0, eb.zs, 0, r);
-      if (eb.has_p)
-        s_loc[0][3] = sto_overlap(ea.n, 0, ea.zs, eb.n, 1, eb.zp, 0, r);
-      if (ea.has_p)
-        s_loc[3][0] = sto_overlap(ea.n, 1, ea.zp, eb.n, 0, eb.zs, 0, r);
-      if (ea.has_p && eb.has_p) {
-        s_loc[3][3] = sto_overlap(ea.n, 1, ea.zp, eb.n, 1, eb.zp, 0, r);
-        s_loc[1][1] = s_loc[2][2] =
-            sto_overlap(ea.n, 1, ea.zp, eb.n, 1, eb.zp, 1, r);
-      }
+      const double zeta_a[3] = {ea.zs, ea.zp, ea.zd};
+      const double zeta_b[3] = {eb.zs, eb.zp, eb.zd};
+      const int lmax_a = ea.has_d ? 2 : (ea.has_p ? 1 : 0);
+      const int lmax_b = eb.has_d ? 2 : (eb.has_p ? 1 : 0);
+      for (int la2 = 0; la2 <= lmax_a; ++la2)
+        for (int lb2 = 0; lb2 <= lmax_b; ++lb2)
+          for (int m = 0; m <= (la2 < lb2 ? la2 : lb2); ++m) {
+            const double v = sto_overlap(ea.n, la2, zeta_a[la2], eb.n, lb2,
+                                         zeta_b[lb2], m, r);
+            for (int c = 0; c < (m == 0 ? 1 : 2); ++c)
+              s_loc[kLmOrbs[la2][m][c]][kLmOrbs[lb2][m][c]] = v;
+          }
+      double wa9[9][9], wb9[9][9];
+      orbital_rotation(u, sa, wa9);
+      orbital_rotation(u, sb, wb9);
+      const double beta_a[9] = {ea.beta_s, ea.beta_p, ea.beta_p, ea.beta_p,
+                                ea.beta_d, ea.beta_d, ea.beta_d, ea.beta_d,
+                                ea.beta_d};
+      const double beta_b[9] = {eb.beta_s, eb.beta_p, eb.beta_p, eb.beta_p,
+                                eb.beta_d, eb.beta_d, eb.beta_d, eb.beta_d,
+                                eb.beta_d};
       for (int i = 0; i < sa; ++i)
         for (int j = 0; j < sb; ++j) {
           double s_glob = 0.0;
-          for (int k = 0; k < 4; ++k)
-            for (int l = 0; l < 4; ++l)
-              s_glob += w[i][k] * s_loc[k][l] * w[j][l];
-          const double beta_i = (i == 0 ? ea.beta_s : ea.beta_p);
-          const double beta_j = (j == 0 ? eb.beta_s : eb.beta_p);
-          const double res = 0.5 * (beta_i + beta_j) / kEvPerHartree * s_glob;
+          for (int k = 0; k < sa; ++k)
+            for (int l = 0; l < sb; ++l)
+              s_glob += wa9[i][k] * s_loc[k][l] * wb9[j][l];
+          const double res =
+              0.5 * (beta_a[i] + beta_b[j]) / kEvPerHartree * s_glob;
           mol.hcore[(oa + i) * norb + ob + j] = res;
           mol.hcore[(ob + j) * norb + oa + i] = res;
         }
-      mol.e_nuc += core_core(ea, eb, r, t[0][0][0][0]);
+      mol.e_nuc += core_core(ea, eb, r, tat(0, 0, 0, 0));
     }
   }
-  // one-center ERIs
-  mol.eri1c.assign(n * 256, 0.0);
+  // one-center ERIs (exact dims per atom)
+  mol.eri1c.resize(n);
   for (int a = 0; a < n; ++a) {
     const Elem& e = *mol.el[a];
-    double(&t)[4][4][4][4] =
-        *reinterpret_cast<double(*)[4][4][4][4]>(&mol.eri1c[a * 256]);
+    const int s = mol.size[a];
+    std::vector<double>& tv = mol.eri1c[a];
+    if (e.has_d) {
+      tv.resize(6561);
+      one_center_eri_spd(e, tv.data());
+      continue;
+    }
+    tv.assign(size_t(s) * s * s * s, 0.0);
+    auto at = [&](int i, int j, int k, int l) -> double& {
+      return tv[((size_t(i) * s + j) * s + k) * s + l];
+    };
     const double g = 1.0 / kEvPerHartree;
-    t[0][0][0][0] = e.gss * g;
+    at(0, 0, 0, 0) = e.gss * g;
     if (e.has_p) {
       const double hpp = 0.5 * (e.gpp - e.gp2);
       for (int i = 1; i < 4; ++i) {
-        t[0][0][i][i] = t[i][i][0][0] = e.gsp * g;
-        t[i][i][i][i] = e.gpp * g;
-        t[0][i][0][i] = t[i][0][0][i] = e.hsp * g;
-        t[0][i][i][0] = t[i][0][i][0] = e.hsp * g;
+        at(0, 0, i, i) = at(i, i, 0, 0) = e.gsp * g;
+        at(i, i, i, i) = e.gpp * g;
+        at(0, i, 0, i) = at(i, 0, 0, i) = e.hsp * g;
+        at(0, i, i, 0) = at(i, 0, i, 0) = e.hsp * g;
         for (int j = 1; j < 4; ++j)
           if (i != j) {
-            t[i][i][j][j] = e.gp2 * g;
-            t[i][j][i][j] = t[i][j][j][i] = hpp * g;
+            at(i, i, j, j) = e.gp2 * g;
+            at(i, j, i, j) = at(i, j, j, i) = hpp * g;
           }
       }
     }
@@ -735,15 +1415,17 @@ static void fock(const Molecule& mol, const double* p_tot,
   std::memcpy(f, mol.hcore.data(), sizeof(double) * norb * norb);
   for (int a = 0; a < mol.n_atoms; ++a) {
     const int o = mol.offset[a], s = mol.size[a];
-    const double(&t)[4][4][4][4] =
-        *reinterpret_cast<const double(*)[4][4][4][4]>(&mol.eri1c[a * 256]);
+    const double* t = mol.eri1c[a].data();
+    auto at = [&](int i, int j, int k, int l) {
+      return t[((size_t(i) * s + j) * s + k) * s + l];
+    };
     for (int m = 0; m < s; ++m)
       for (int nn = 0; nn < s; ++nn) {
         double acc = 0.0;
         for (int l = 0; l < s; ++l)
           for (int ss = 0; ss < s; ++ss)
-            acc += t[m][nn][l][ss] * p_tot[(o + l) * norb + o + ss] -
-                   t[m][l][nn][ss] * p_spin[(o + l) * norb + o + ss];
+            acc += at(m, nn, l, ss) * p_tot[(o + l) * norb + o + ss] -
+                   at(m, l, nn, ss) * p_spin[(o + l) * norb + o + ss];
         f[(o + m) * norb + o + nn] += acc;
       }
   }
@@ -751,14 +1433,16 @@ static void fock(const Molecule& mol, const double* p_tot,
     const int a = mol.pairs[pi].first, b = mol.pairs[pi].second;
     const int oa = mol.offset[a], sa = mol.size[a];
     const int ob = mol.offset[b], sb = mol.size[b];
-    const double(&t)[4][4][4][4] =
-        *reinterpret_cast<const double(*)[4][4][4][4]>(mol.eri2c[pi].data());
+    const double* t = mol.eri2c[pi].data();
+    auto at = [&](int i, int j, int k, int l) {
+      return t[((size_t(i) * sa + j) * sb + k) * sb + l];
+    };
     for (int m = 0; m < sa; ++m)
       for (int nn = 0; nn < sa; ++nn) {
         double acc = 0.0;
         for (int l = 0; l < sb; ++l)
           for (int ss = 0; ss < sb; ++ss)
-            acc += t[m][nn][l][ss] * p_tot[(ob + l) * norb + ob + ss];
+            acc += at(m, nn, l, ss) * p_tot[(ob + l) * norb + ob + ss];
         f[(oa + m) * norb + oa + nn] += acc;
       }
     for (int l = 0; l < sb; ++l)
@@ -766,7 +1450,7 @@ static void fock(const Molecule& mol, const double* p_tot,
         double acc = 0.0;
         for (int m = 0; m < sa; ++m)
           for (int nn = 0; nn < sa; ++nn)
-            acc += t[m][nn][l][ss] * p_tot[(oa + m) * norb + oa + nn];
+            acc += at(m, nn, l, ss) * p_tot[(oa + m) * norb + oa + nn];
         f[(ob + l) * norb + ob + ss] += acc;
       }
     for (int m = 0; m < sa; ++m)
@@ -774,7 +1458,7 @@ static void fock(const Molecule& mol, const double* p_tot,
         double acc = 0.0;
         for (int nn = 0; nn < sa; ++nn)
           for (int ss = 0; ss < sb; ++ss)
-            acc += t[m][nn][l][ss] * p_spin[(oa + nn) * norb + ob + ss];
+            acc += at(m, nn, l, ss) * p_spin[(oa + nn) * norb + ob + ss];
         f[(oa + m) * norb + ob + l] -= acc;
         f[(ob + l) * norb + oa + m] = f[(oa + m) * norb + ob + l];
       }
@@ -792,13 +1476,19 @@ static void density(const double* f, int n, int nocc, double* p) {
     }
 }
 
-// UHF SCF; returns total energy in Hartree, sets *converged
-static double scf(const Molecule& mol, bool* converged) {
+// UHF SCF; returns total energy in Hartree, sets *converged; optionally
+// exports the converged spin densities (for the frozen-density gradients)
+static double scf(const Molecule& mol, bool* converged,
+                  std::vector<double>* pa_out = nullptr,
+                  std::vector<double>* pb_out = nullptr) {
   const int norb = mol.n_orb;
   const int nn = norb * norb;
   std::vector<double> pa(nn, 0.0), pb(nn, 0.0);
   for (int a = 0; a < mol.n_atoms; ++a) {
-    const int o = mol.offset[a], s = mol.size[a];
+    const int o = mol.offset[a];
+    // guess spreads the valence charge over the sp shell only: the d shell
+    // of a second-row ground state is empty (mirrors nddo_ref.py scf)
+    const int s = mol.size[a] < 4 ? mol.size[a] : 4;
     for (int k = 0; k < s; ++k) {
       const double occ = mol.el[a]->zval / s;
       pa[(o + k) * norb + o + k] = (mol.n_beta == 0) ? occ : 0.5 * occ;
@@ -946,7 +1636,26 @@ static double scf(const Molecule& mol, bool* converged) {
       pb[i] = mix * pb_new[i] + (1.0 - mix) * pb[i];
     }
   }
+  if (pa_out) *pa_out = pa;
+  if (pb_out) *pb_out = pb;
   return e_elec + mol.e_nuc;
+}
+
+// Total energy of a geometry evaluated with a FROZEN density (one Fock build,
+// no SCF): E = 1/2 sum[pa (h + fa) + pb (h + fb)] + e_nuc.
+static double frozen_density_energy(const Molecule& mol,
+                                    const std::vector<double>& pa,
+                                    const std::vector<double>& pb) {
+  const int nn = mol.n_orb * mol.n_orb;
+  std::vector<double> ptot(nn), fa(nn), fb(nn);
+  for (int i = 0; i < nn; ++i) ptot[i] = pa[i] + pb[i];
+  fock(mol, ptot.data(), pa.data(), fa.data());
+  fock(mol, ptot.data(), pb.data(), fb.data());
+  double e = 0.0;
+  for (int i = 0; i < nn; ++i)
+    e += 0.5 * (pa[i] * (mol.hcore[i] + fa[i]) +
+                pb[i] * (mol.hcore[i] + fb[i]));
+  return e + mol.e_nuc;
 }
 
 static double nddo_energy(const int* zs, const double* pos, int n, int charge,
@@ -973,20 +1682,32 @@ double mg_nddo_energy(const int* zs, const double* positions, int n,
 }
 
 // Central finite-difference gradients in Hartree/bohr. Returns 0 on success.
+//
+// Frozen-density scheme: ONE SCF at the reference geometry, then each
+// displaced energy is a single integral build + Fock contraction with the
+// converged density held fixed. Exact to O(step^2): the NDDO basis is
+// orthogonal (no overlap/Pulay terms) and E is variationally stationary in
+// P, so dP/dR contributes nothing to first order. ~n_scf_iter x faster than
+// re-solving the SCF per displacement.
 int mg_nddo_gradients(const int* zs, const double* positions, int n,
                       int charge, int multiplicity, double* grad) {
   const double step = 2e-4;  // Angstrom
-  std::vector<double> work(positions, positions + 3 * n);
+  nddo::Molecule mol0;
+  if (!nddo::build(mol0, zs, positions, n, charge, multiplicity)) return 1;
   bool conv = false;
+  std::vector<double> pa, pb;
+  nddo::scf(mol0, &conv, &pa, &pb);
+  if (!conv) return 1;
+  std::vector<double> work(positions, positions + 3 * n);
   for (int i = 0; i < 3 * n; ++i) {
     work[i] = positions[i] + step;
-    const double ep =
-        nddo::nddo_energy(zs, work.data(), n, charge, multiplicity, &conv);
-    if (!conv) return 1;
+    nddo::Molecule mp;
+    if (!nddo::build(mp, zs, work.data(), n, charge, multiplicity)) return 1;
+    const double ep = nddo::frozen_density_energy(mp, pa, pb);
     work[i] = positions[i] - step;
-    const double em =
-        nddo::nddo_energy(zs, work.data(), n, charge, multiplicity, &conv);
-    if (!conv) return 1;
+    nddo::Molecule mm;
+    if (!nddo::build(mm, zs, work.data(), n, charge, multiplicity)) return 1;
+    const double em = nddo::frozen_density_energy(mm, pa, pb);
     work[i] = positions[i];
     grad[i] = (ep - em) / (2.0 * step * nddo::kBohrPerAngstrom);
   }

@@ -112,9 +112,9 @@ class TestOracleParity:
                 assert np.isnan(e_cpp), (zs, pos)
         assert n_converged >= 4  # most random molecules do converge
 
-    def test_sulfur_sp_approximation(self):
-        """S runs through the sp-only PM6 approximation (documented: no d
-        shell) and agrees with the oracle."""
+    def test_sulfur_spd_parity(self):
+        """S runs through the full spd (MNDO/d) machinery in both
+        implementations and they agree."""
         zs = [16, 1, 1]
         pos = np.array([[0, 0, 0], [1.35, 0, 0], [-0.3, 1.3, 0]])
         e_cpp = pm6_calc(['S', 'H', 'H'], pos).calculate_energy()
@@ -238,3 +238,160 @@ class TestMinimizerPM6:
         d1 = np.linalg.norm(relaxed.positions[1] - relaxed.positions[0])
         d2 = np.linalg.norm(relaxed.positions[2] - relaxed.positions[0])
         assert 0.85 < d1 < 1.1 and 0.85 < d2 < 1.1
+
+
+class TestDShellMachinery:
+    """First-principles checks of the MNDO/d d-shell machinery in the oracle
+    (nddo_ref): generalized STO overlaps, the exact 5x5 d rotation, real
+    Gaunt coefficients, Slater-Condon radial integrals, the Gaunt-built
+    one-center spd tensor, and the reduction of the generic multipole path
+    to the classic Dewar-Thiel sp path."""
+
+    def test_d_overlap_numeric_anchor(self):
+        # brute-force cylindrical-grid integration of <3d_sigma|3d_sigma>,
+        # <3d_pi|2p_pi> style overlaps (moderate grid, loose tol)
+        import math
+
+        def numeric(na, la, za, nb, lb, zb, m, r):
+            ns_, nz = 300, 600
+            smax = 14.0 / min(za, zb)
+            zlo, zhi = -14.0 / za, r + 14.0 / zb
+            s = (np.arange(ns_) + 0.5) * smax / ns_
+            z = zlo + (np.arange(nz) + 0.5) * (zhi - zlo) / nz
+            S, Z = np.meshgrid(s, z, indexing='ij')
+            rA = np.sqrt(S**2 + Z**2)
+            rB = np.sqrt(S**2 + (Z - r)**2)
+
+            def ang(l, mm, ct, st):
+                norm = math.sqrt(
+                    (2 * l + 1) / (4 * math.pi)
+                    * math.factorial(l - mm) / math.factorial(l + mm)
+                    * (2.0 if mm else 1.0))
+                p = {(0, 0): np.ones_like(ct), (1, 0): ct, (1, 1): st,
+                     (2, 0): 0.5 * (3 * ct**2 - 1), (2, 1): 3 * ct * st,
+                     (2, 2): 3 * st**2}[(l, mm)]
+                return norm * p
+
+            fA = (nddo_ref._sto_norm(na, za) * rA**(na - 1) * np.exp(-za * rA)
+                  * ang(la, m, Z / rA, S / rA))
+            fB = (nddo_ref._sto_norm(nb, zb) * rB**(nb - 1) * np.exp(-zb * rB)
+                  * ang(lb, m, (Z - r) / rB, S / rB))
+            phi = 2 * math.pi if m == 0 else math.pi
+            return float(np.sum(fA * fB * S)) * (smax / ns_) * \
+                ((zhi - zlo) / nz) * phi
+
+        for case in [(3, 2, 2.0, 3, 2, 2.0, 0, 2.2),
+                     (3, 2, 2.0, 3, 2, 2.0, 2, 2.2),
+                     (3, 2, 1.9, 2, 1, 2.1, 1, 2.8),
+                     (3, 2, 2.4, 3, 0, 2.0, 0, 1.9)]:
+            assert nddo_ref.sto_overlap(*case) == pytest.approx(
+                numeric(*case), abs=5e-5)
+
+    def test_d_rotation_orthogonal_and_homomorphic(self):
+        rng = np.random.default_rng(0)
+        q1, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        q2, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        d1 = nddo_ref._d_rotation(q1)
+        np.testing.assert_allclose(d1 @ d1.T, np.eye(5), atol=1e-12)
+        np.testing.assert_allclose(
+            nddo_ref._d_rotation(q1 @ q2),
+            nddo_ref._d_rotation(q1) @ nddo_ref._d_rotation(q2), atol=1e-12)
+
+    def test_real_gaunt_analytic_values(self):
+        import math
+        # int S00 S_lm S_lm = 1/sqrt(4 pi); int S1z S1z S20 = 1/sqrt(5 pi)
+        assert nddo_ref._real_gaunt(1, 0, 1, 0, 0, 0) == pytest.approx(
+            1.0 / math.sqrt(4 * math.pi), abs=1e-12)
+        assert nddo_ref._real_gaunt(2, 4, 2, 4, 0, 0) == pytest.approx(
+            1.0 / math.sqrt(4 * math.pi), abs=1e-12)
+        assert nddo_ref._real_gaunt(1, 0, 1, 0, 2, 0) == pytest.approx(
+            1.0 / math.sqrt(5 * math.pi), abs=1e-12)
+        # parity: odd l1+l2+L vanishes
+        assert nddo_ref._real_gaunt(0, 0, 2, 0, 1, 0) == 0.0
+        assert nddo_ref._real_gaunt(1, 1, 2, 1, 2, 1) == 0.0
+
+    def test_slater_condon_hydrogenic(self):
+        # R^0(1s 1s; 1s 1s) = 5/8 zeta for equal exponents
+        for zeta in (1.0, 1.7, 2.4):
+            assert nddo_ref._slater_rk(
+                0, 1, zeta, 1, zeta, 1, zeta, 1, zeta) == pytest.approx(
+                    0.625 * zeta, rel=1e-12)
+        # symmetry under electron swap
+        a = nddo_ref._slater_rk(2, 3, 2.0, 3, 1.5, 3, 1.1, 3, 2.2)
+        b = nddo_ref._slater_rk(2, 3, 1.5, 3, 2.0, 3, 2.2, 3, 1.1)
+        assert a == pytest.approx(b, rel=1e-12)
+
+    def test_one_center_spd_tensor_rotation_invariant(self):
+        par = nddo_ref.PM6_PARAMS[16]
+        t = nddo_ref.one_center_eri_spd(par)
+        rng = np.random.default_rng(7)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        w = nddo_ref._orbital_rotation(q, 9)
+        t_rot = np.einsum('am,bn,co,dp,mnop->abcd', w, w, w, w, t,
+                          optimize=True)
+        np.testing.assert_allclose(t_rot, t, atol=1e-10)
+
+    def test_generic_two_center_reduces_to_classic_sp(self):
+        for (za, zb, r) in [(8, 1, 1.8), (6, 7, 2.5), (9, 9, 2.7)]:
+            pa = nddo_ref.PM6_PARAMS[za]
+            pb = nddo_ref.PM6_PARAMS[zb]
+            old = nddo_ref._pairs_to_tensor(
+                nddo_ref.two_center_eri_local(pa, pb, r))
+            sa, sb = nddo_ref._n_orbs(pa), nddo_ref._n_orbs(pb)
+            new = nddo_ref.two_center_eri_spd(za, zb, r)
+            np.testing.assert_allclose(new, old[:sa, :sa, :sb, :sb],
+                                       atol=1e-14)
+
+    def test_klopman_rho_solutions_consistent(self):
+        # the solved rho must reproduce its one-center target channel
+        tables = nddo_ref._spd_tables(16)
+        par = nddo_ref.PM6_PARAMS[16]
+        for key, (mu, nu) in nddo_ref._CANONICAL.items():
+            sa, sb, lo = key
+            if 2 not in (sa, sb):
+                continue
+            lm, tm = nddo_ref._ORB_LT[mu]
+            ln, tn = nddo_ref._ORB_LT[nu]
+            to_c = next(t for t in range(2 * lo + 1)
+                        if nddo_ref._real_gaunt(lm, tm, ln, tn, lo, t))
+            target = (4.0 * np.pi / (2 * lo + 1)
+                      * nddo_ref._one_center_rk(par, lo, (lm, ln), (lm, ln))
+                      * nddo_ref._real_gaunt(lm, tm, ln, tn, lo, to_c) ** 2)
+            got = nddo_ref._kernel_self_interaction(
+                lo, to_c, tables.d[key], tables.rho[key])
+            assert got == pytest.approx(target, rel=1e-6)
+
+    def test_sulfur_oracle_rotation_invariance(self):
+        zs = [16, 1, 1]
+        pos = np.array([[0.0, 0.0, 0.0], [1.34, 0.0, 0.0],
+                        [-0.05, 1.33, 0.0]])
+        e0 = nddo_ref.energy(zs, pos)
+        rng = np.random.default_rng(11)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        e1 = nddo_ref.energy(zs, pos @ q.T)
+        assert e1 == pytest.approx(e0, abs=1e-8)
+
+    def test_sulfur_atom_ground_state_is_sp(self):
+        m = nddo_ref.NDDO([16], [[0.0, 0.0, 0.0]])
+        e, ok = m.scf()
+        assert ok
+        d_occ = float(np.sum(np.diag(m.p_alpha + m.p_beta)[4:]))
+        assert d_occ < 0.05
+        # stays within polarization distance of the sp-only ground state
+        # (-6.1176479; slight d-p mixing lowers it a touch) — a collapse into
+        # the d shell (see the calibration notes on PM6_PARAMS) sits ~0.4 Ha
+        # below
+        assert abs(e - (-6.117647916855)) < 2e-3
+
+    def test_sf6_hypervalent_binding(self):
+        # sp-only NDDO cannot bind six F around S (octet); the d shell must.
+        # Loose anchor: atomization within a factor-band of the experimental
+        # -472 kcal/mol, octahedral minimum near 1.56 A.
+        d = 1.60
+        sf6 = [[0, 0, 0], [d, 0, 0], [-d, 0, 0], [0, d, 0], [0, -d, 0],
+               [0, 0, d], [0, 0, -d]]
+        e = nddo_ref.energy([16] + [9] * 6, sf6)
+        e_s = nddo_ref.energy([16], [[0, 0, 0]])
+        e_f = nddo_ref.energy([9], [[0, 0, 0]])
+        kcal = (e - e_s - 6 * e_f) * 627.509474
+        assert -700.0 < kcal < -250.0
