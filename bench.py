@@ -23,6 +23,9 @@ extra        = secondary metrics (each individually fault-tolerant and
                                       same through the serial host loop (the
                                       round-1 transport; the ratio is the
                                       pipelining speedup)
+               env_steps_per_sec_pm6  same pipelined rollout with the native
+                                      NDDO/PM6 SCF reward (reference parity
+                                      backend, incl. the d shell on S)
 
 Baseline methodology: the reference stack (torch + cormorant + schnetpack +
 torch-scatter) is not installable here and publishes no numbers (BASELINE.md),
@@ -171,14 +174,15 @@ def bench_ours(iters=30):
     return ms, grad_fn, params
 
 
-def bench_env_steps_eht(pipelined: bool, reps: int = 3):
-    """SF6 training-rollout throughput (env-steps/s) with the native EHT
-    quantum reward through the host-loop transport (the configuration of
-    experiments/sf6_eht: 10 envs, 140 steps per iteration)."""
+def bench_env_steps_qm(pipelined: bool, method: str = 'EHT', reps: int = 3):
+    """SF6 training-rollout throughput (env-steps/s) with a native quantum
+    reward (EHT or PM6) through the host-loop transport (the configuration
+    of experiments/sf6_eht / sf6_pm6: 10 envs, 140 steps per iteration)."""
     import jax
     import numpy as np_
 
-    from molgym_tpu.calculators.native import METHOD_EHT, NativeBatchCalculator
+    from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_PM6,
+                                               NativeBatchCalculator)
     from molgym_tpu.envs.environment import MolecularEnv
     from molgym_tpu.envs.reward import make_lennard_jones_reward
     from molgym_tpu.formula import string_to_formula
@@ -193,7 +197,8 @@ def bench_env_steps_eht(pipelined: bool, reps: int = 3):
         observation_space=space,
         formulas=np_.stack([space.bag_from_formula(string_to_formula('SF6'))]))
     agent = make_agent()
-    calc = NativeBatchCalculator(method=METHOD_EHT)
+    calc = NativeBatchCalculator(
+        method={'EHT': METHOD_EHT, 'PM6': METHOD_PM6}[method])
 
     make = (make_pipelined_host_rollout_fn if pipelined
             else make_host_loop_rollout_fn)
@@ -212,7 +217,8 @@ def bench_env_steps_eht(pipelined: bool, reps: int = 3):
         jax.block_until_ready(traj.rewards)
         best = min(best, time.perf_counter() - start)
     sps = num_envs * steps_per_env / best
-    log(f'eht env-steps/s ({"pipelined" if pipelined else "serial"}): {sps:.1f}')
+    log(f'{method} env-steps/s ({"pipelined" if pipelined else "serial"}): '
+        f'{sps:.1f}')
     return sps
 
 
@@ -259,9 +265,12 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
     guard('ms_batch_2240', batch_2240)
     guard('ms_bf16', bf16)
     guard('ms_einsum_agg', einsum_agg)
-    guard('env_steps_per_sec_eht', lambda: round(bench_env_steps_eht(True), 1))
+    guard('env_steps_per_sec_eht',
+          lambda: round(bench_env_steps_qm(True, 'EHT'), 1))
     guard('env_steps_per_sec_eht_serial',
-          lambda: round(bench_env_steps_eht(False), 1))
+          lambda: round(bench_env_steps_qm(False, 'EHT'), 1))
+    guard('env_steps_per_sec_pm6',
+          lambda: round(bench_env_steps_qm(True, 'PM6'), 1))
     return extras
 
 

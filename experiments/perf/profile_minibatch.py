@@ -78,7 +78,9 @@ def build_grad_fn(batch, encoder_dtype=None):
     # is backend-independent.
     from molgym_tpu.ops import cg as cg_mod
     saved_backend = cg_mod.aggregate_backend()
+    saved_cg = cg_mod._CG_BACKEND
     cg_mod.set_aggregate_backend('einsum')
+    cg_mod.set_cg_backend('einsum')
     with jax.default_device(jax.devices('cpu')[0]):
         obs_cpu = Observation(elements=jnp.asarray(elements),
                               positions=jnp.asarray(positions),
@@ -88,6 +90,7 @@ def build_grad_fn(batch, encoder_dtype=None):
         actions = agent.apply(params, obs_cpu, rng, False,
                               method=agent.act).action_flat
     cg_mod.set_aggregate_backend(saved_backend)
+    cg_mod.set_cg_backend(saved_cg)
     dev = jax.devices()[0]
     obs = jax.device_put(obs_cpu, dev)
     params = jax.device_put(params, dev)
@@ -235,10 +238,15 @@ def main():
                     help='backend for the fused edge aggregate')
     ap.add_argument('--dtype', choices=['f32', 'bf16'], default='f32',
                     help='encoder compute dtype')
+    ap.add_argument('--cg', choices=['einsum', 'pallas'], default='einsum',
+                    help='backend for the elementwise CG product')
     args = ap.parse_args()
     if args.agg != 'einsum':
         from molgym_tpu.ops.cg import set_aggregate_backend
         set_aggregate_backend(args.agg)
+    if args.cg != 'einsum':
+        from molgym_tpu.ops.cg import set_cg_backend
+        set_cg_backend(args.cg)
 
     os.makedirs('/tmp/molgym_tpu_xla_cache', exist_ok=True)
     import jax

@@ -164,7 +164,15 @@ def _unpack_out(out_flat: jnp.ndarray, slices, maxl: int) -> List[jnp.ndarray]:
 
 # Contraction backend for the elementwise CG product: 'einsum' (XLA) or
 # 'pallas' (fused outer-product + MXU matmul kernel, ops/pallas_cg.py).
+# 'auto' resolves per default backend like the aggregate below.
 _CG_BACKEND = 'einsum'
+
+
+def _cg_backend_resolved() -> str:
+    if _CG_BACKEND == 'auto':
+        import jax
+        return 'pallas' if jax.default_backend() == 'tpu' else 'einsum'
+    return _CG_BACKEND
 
 # Backend for the fused edge-build + CG aggregate in the encoder's CG levels:
 # 'einsum' (XLA; materializes the edge tensor in HBM) or 'pallas'
@@ -178,7 +186,7 @@ _AGG_BACKEND = 'auto'
 
 def set_cg_backend(backend: str) -> None:
     global _CG_BACKEND
-    assert backend in ('einsum', 'pallas', 'pallas_interpret')
+    assert backend in ('auto', 'einsum', 'pallas', 'pallas_interpret')
     _CG_BACKEND = backend
 
 
@@ -248,9 +256,9 @@ def cg_product_packed(a: jnp.ndarray, b: jnp.ndarray, n_ells1: int,
     """CG product of two packed reps; returns (packed_out [..., tau, K, 2],
     slices) with K-blocks grouped by output l, (l1, l2) pairs in loop order."""
     table_np, slices = _fused_cg_table(n_ells1, n_ells2, maxl)
-    if _CG_BACKEND.startswith('pallas'):
+    if _cg_backend_resolved().startswith('pallas'):
         from molgym_tpu.ops.pallas_cg import cg_contract_pallas
-        out = cg_contract_pallas(a, b, jnp.asarray(table_np),
+        out = cg_contract_pallas(a, b, table_np,
                                  interpret=_CG_BACKEND == 'pallas_interpret')
     else:
         # table in the operand dtype: under a bf16 compute path a f32 table

@@ -157,6 +157,29 @@ class TestCG:
         out = cg_contract_pallas(a, b, jnp.asarray(table_np), interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_pallas_kernel_gradients_match_einsum(self):
+        import jax
+        from molgym_tpu.ops.cg import _complex_contract, _fused_cg_table
+        from molgym_tpu.ops.pallas_cg import cg_contract_pallas
+        rng = np.random.RandomState(13)
+        maxl = 3
+        m = sum(2 * l + 1 for l in range(maxl + 1))
+        table_np, _slices = _fused_cg_table(maxl + 1, maxl + 1, maxl)
+        a = jnp.asarray(rng.randn(4, 2, m, 2).astype(np.float32))
+        b = jnp.asarray(rng.randn(4, 2, m, 2).astype(np.float32))
+        cot_shape = _complex_contract(a, b, jnp.asarray(table_np),
+                                      '...tm,...tn,mnk->...tk').shape
+        cot = jnp.asarray(rng.randn(*cot_shape).astype(np.float32))
+        loss_e = lambda x, y: jnp.sum(_complex_contract(
+            x, y, jnp.asarray(table_np), '...tm,...tn,mnk->...tk') * cot)
+        loss_p = lambda x, y: jnp.sum(
+            cg_contract_pallas(x, y, table_np, interpret=True) * cot)
+        ge = jax.grad(loss_e, argnums=(0, 1))(a, b)
+        gp = jax.grad(loss_p, argnums=(0, 1))(a, b)
+        for u, v in zip(ge, gp):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                       atol=3e-4, rtol=3e-4)
+
     def test_cg_backend_switch(self):
         from molgym_tpu.ops.cg import set_cg_backend
         rng = np.random.RandomState(12)

@@ -148,6 +148,32 @@ class TestInvariances:
         grad = calc.calculate_gradients()
         np.testing.assert_allclose(grad.sum(0), 0.0, atol=1e-6)
 
+    def test_sulfur_d_rotation_invariance_cpp(self):
+        # exercises the 5x5 d rotation + generic spd two-center path in C++.
+        # The discrete point-multipole configurations are not exactly
+        # axially symmetric as tensors (true of the classic sp model too,
+        # ~2e-5 at the ERI level); for sp pairs the deviation cancels
+        # exactly in the energy, for d-involving pairs ~1e-6 Ha leaks
+        # through — physically negligible (0.0008 kcal/mol), hence the
+        # tolerance.
+        pos = np.array([[0.0, 0.0, 0.0], [1.59, 0.0, 0.0],
+                        [-0.42, 1.55, 0.0]])
+        e0 = pm6_calc(['S', 'F', 'F'], pos).calculate_energy()
+        rng = np.random.default_rng(5)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        e1 = pm6_calc(['S', 'F', 'F'], pos @ q.T).calculate_energy()
+        assert np.isfinite(e0)
+        assert e1 == pytest.approx(e0, abs=1e-5)
+
+    def test_sulfur_gradients_frozen_density_accurate(self):
+        # C++ frozen-density FD vs the oracle's full-SCF FD on the d path
+        zs = [16, 1, 1]
+        pos = np.array([[0.0, 0.0, 0.0], [1.34, 0.0, 0.0],
+                        [-0.05, 1.33, 0.0]])
+        g_cpp = pm6_calc(['S', 'H', 'H'], pos).calculate_gradients()
+        g_ref = nddo_ref.gradients(zs, pos)
+        np.testing.assert_allclose(g_cpp, g_ref, atol=1e-6)
+
 
 class TestOverlapIntegrals:
     """STO overlap machinery against closed-form values."""
