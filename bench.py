@@ -211,9 +211,12 @@ def bench_env_steps_qm(pipelined: bool, method: str = 'EHT', reps: int = 3):
     _, traj = rollout(params, states, rng)  # compile + warmup
     jax.block_until_ready(traj.rewards)
     best = float('inf')
-    for _ in range(reps):
+    for rep in range(reps):
+        # fresh rollout rng per rep: identical keys would be 100% hits in
+        # the host energy cache, which is not the training access pattern
+        rep_rng = jax.random.fold_in(rng, rep + 1)
         start = time.perf_counter()
-        _, traj = rollout(params, states, rng)
+        _, traj = rollout(params, states, rep_rng)
         jax.block_until_ready(traj.rewards)
         best = min(best, time.perf_counter() - start)
     sps = num_envs * steps_per_env / best

@@ -26,6 +26,7 @@
 #include <mutex>
 #include <queue>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" double mg_eht_energy(const int* zs, const double* positions, int n);
@@ -93,12 +94,70 @@ inline double pair_denergy_dr(int method, const PairParams& p, int zi, int zj,
   return 4.0 * p.epsilon * (-12.0 * s6 * s6 + 6.0 * s6) / r;
 }
 
+// Geometry-keyed energy cache for the SCF backends. Atoms never move once
+// placed on the canvas, so the previous-canvas energy E(prev) of step t is
+// bit-identical to the E(all) computed at step t-1, and single-atom energies
+// recur constantly — exact-byte keying (FNV-1a over method/zs/positions)
+// turns ~3 SCF evaluations per env-step into ~1. This extends the
+// reference's atomic-energy cache (molgym/reward.py:57-62) to whole
+// canvases; SCF energies are deterministic, so hits are exact.
+struct EnergyCache {
+  std::mutex mu;
+  std::unordered_map<uint64_t, double> map;
+  std::atomic<long long> hits{0}, misses{0};
+
+  static uint64_t key(int method, const int* zs, const double* pos, int n) {
+    uint64_t h = 1469598103934665603ull;
+    auto mix = [&h](const unsigned char* p, size_t len) {
+      for (size_t i = 0; i < len; ++i) {
+        h ^= p[i];
+        h *= 1099511628211ull;
+      }
+    };
+    mix(reinterpret_cast<const unsigned char*>(&method), sizeof(method));
+    mix(reinterpret_cast<const unsigned char*>(&n), sizeof(n));
+    mix(reinterpret_cast<const unsigned char*>(zs), sizeof(int) * n);
+    mix(reinterpret_cast<const unsigned char*>(pos), sizeof(double) * 3 * n);
+    return h;
+  }
+
+  bool get(uint64_t k, double* e) {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = map.find(k);
+    if (it == map.end()) return false;
+    *e = it->second;
+    return true;
+  }
+
+  void put(uint64_t k, double e) {
+    std::lock_guard<std::mutex> lock(mu);
+    if (map.size() > 200000) map.clear();  // bound memory; correctness-free
+    map.emplace(k, e);
+  }
+};
+
+EnergyCache& energy_cache() {
+  static EnergyCache c;
+  return c;
+}
+
 double total_energy(int method, const PairParams& p, const int* zs,
                     const double* pos, int n) {
-  if (method == kExtendedHuckel) return eht_total_energy(zs, pos, n);
-  if (method == kPM6) {
-    // neutral molecule, multiplicity (sum Z) % 2 + 1 (reward.py:17-19,28-32)
-    return mg_nddo_energy(zs, pos, n, /*charge=*/0, /*multiplicity=*/0);
+  if (method == kExtendedHuckel || method == kPM6) {
+    EnergyCache& cache = energy_cache();
+    const uint64_t k = EnergyCache::key(method, zs, pos, n);
+    double e;
+    if (cache.get(k, &e)) {
+      cache.hits.fetch_add(1);
+      return e;
+    }
+    cache.misses.fetch_add(1);
+    e = method == kExtendedHuckel
+            ? eht_total_energy(zs, pos, n)
+            // neutral, multiplicity (sum Z) % 2 + 1 (reward.py:17-19,28-32)
+            : mg_nddo_energy(zs, pos, n, /*charge=*/0, /*multiplicity=*/0);
+    cache.put(k, e);
+    return e;
   }
   double e = 0.0;
   for (int i = 0; i < n; ++i) {

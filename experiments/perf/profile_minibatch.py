@@ -120,17 +120,26 @@ def cost_flops(grad_fn, params):
     # Host-side HLO cost analysis (pre-optimization): no device compile, so
     # the sweep doesn't pay a second multi-minute tunnel compile per shape.
     # Some PJRT plugins (the tunneled TPU backend) return None here — fall
-    # back to a CPU lowering of the same function for the FLOP count.
+    # back to a CPU lowering of the same function for the FLOP count. The
+    # Pallas kernels cannot lower for CPU, so the fallback lowers the
+    # einsum-backend equivalent (same math, backend-independent flops).
     ca = grad_fn.lower(params).cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     if ca is None:
         import jax
+
+        from molgym_tpu.ops import cg as cg_mod
         cpu = jax.devices('cpu')[0]
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
-        with jax.default_device(cpu):
-            ca = grad_fn.lower(abstract).cost_analysis() or {}
+        saved = cg_mod.aggregate_backend()
+        cg_mod.set_aggregate_backend('einsum')
+        try:
+            with jax.default_device(cpu):
+                ca = grad_fn.lower(abstract).cost_analysis() or {}
+        finally:
+            cg_mod.set_aggregate_backend(saved)
     return float(ca.get('flops', 0.0)), {
         k: v for k, v in ca.items()
         if isinstance(v, float) and ('bytes accessed' == k or k == 'flops')}
@@ -262,12 +271,9 @@ def main():
         grad_fn, params = build_grad_fn(args.batch, encoder_dtype=dt)
         ms = timed(grad_fn, params)
         log(f'batch {args.batch}: {ms:.2f} ms')
-        if args.agg == 'einsum':
-            # the CPU-lowering fallback inside cost_flops cannot lower the
-            # pallas kernel (interpret-only on CPU) — einsum-backend only
-            flops, extras = cost_flops(grad_fn, params)
-            log(f'flops={flops:.3e}, '
-                f'MFU≈{flops / (ms / 1e3) / PEAK_FLOPS * 100:.3f}% {extras}')
+        flops, extras = cost_flops(grad_fn, params)
+        log(f'flops={flops:.3e}, '
+            f'MFU≈{flops / (ms / 1e3) / PEAK_FLOPS * 100:.3f}% {extras}')
 
 
 if __name__ == '__main__':

@@ -43,7 +43,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_ROW_TILE = 256
+def _pick_row_tile(rows: int) -> int:
+    """Largest multiple-of-8 divisor of `rows` up to 512 — when one exists
+    the kernel needs no row padding and no output slice (the pad/slice
+    copies of the m1-wide operands were ~8% of the step in the device
+    trace). Falls back to 256 + padding."""
+    for tile in range(min(512, rows), 7, -8):
+        if tile % 8 == 0 and rows % tile == 0:
+            return tile
+    return 256
 
 
 # ---------------------------------------------------------------------------
@@ -127,8 +135,8 @@ def _pad_rows(x, pad):
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
-def _row_spec(width):
-    return pl.BlockSpec((_ROW_TILE, width), lambda i: (i, 0))
+def _row_spec(width, tile):
+    return pl.BlockSpec((tile, width), lambda i: (i, 0))
 
 
 def _full_spec(shape):
@@ -137,7 +145,7 @@ def _full_spec(shape):
 
 @functools.lru_cache(maxsize=None)
 def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
-                 interpret: bool):
+                 tile: int, interpret: bool):
     cflat = np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k)
     # pair index p = m*m2 + n:  repm expands e over n, tilem tiles q over m.
     repm = np.kron(np.eye(m1, dtype=np.float32),
@@ -149,7 +157,7 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
 
     def run_fwd(e_r, e_i, q_r, q_i):
         rows = e_r.shape[0]
-        pad = (-rows) % _ROW_TILE
+        pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i)]
         rp = rows + pad
         kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2)
@@ -157,37 +165,37 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, k), e_r.dtype),
                        jax.ShapeDtypeStruct((rp, k), e_r.dtype)),
-            grid=(rp // _ROW_TILE, ),
-            in_specs=[_row_spec(n_j * m1), _row_spec(n_j * m1),
-                      _row_spec(n_j * m2), _row_spec(n_j * m2)] +
+            grid=(rp // tile, ),
+            in_specs=[_row_spec(n_j * m1, tile), _row_spec(n_j * m1, tile),
+                      _row_spec(n_j * m2, tile), _row_spec(n_j * m2, tile)] +
                      [_full_spec(t.shape) for t in tables_f],
-            out_specs=(_row_spec(k), _row_spec(k)),
+            out_specs=(_row_spec(k, tile), _row_spec(k, tile)),
             interpret=interpret,
         )(*args, *(jnp.asarray(t) for t in tables_f))
-        return out_r[:rows], out_i[:rows]
+        return (out_r, out_i) if pad == 0 else (out_r[:rows], out_i[:rows])
 
     def run_bwd(e_r, e_i, q_r, q_i, g_r, g_i):
         rows = e_r.shape[0]
-        pad = (-rows) % _ROW_TILE
+        pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i, g_r, g_i)]
         rp = rows + pad
         kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2)
-        de_r, de_i, dq_r, dq_i = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, n_j * m1), e_r.dtype),
                        jax.ShapeDtypeStruct((rp, n_j * m1), e_i.dtype),
                        jax.ShapeDtypeStruct((rp, n_j * m2), q_r.dtype),
                        jax.ShapeDtypeStruct((rp, n_j * m2), q_i.dtype)),
-            grid=(rp // _ROW_TILE, ),
-            in_specs=[_row_spec(n_j * m1), _row_spec(n_j * m1),
-                      _row_spec(n_j * m2), _row_spec(n_j * m2)] +
+            grid=(rp // tile, ),
+            in_specs=[_row_spec(n_j * m1, tile), _row_spec(n_j * m1, tile),
+                      _row_spec(n_j * m2, tile), _row_spec(n_j * m2, tile)] +
                      [_full_spec(t.shape) for t in tables_b] +
-                     [_row_spec(k), _row_spec(k)],
-            out_specs=(_row_spec(n_j * m1), _row_spec(n_j * m1),
-                       _row_spec(n_j * m2), _row_spec(n_j * m2)),
+                     [_row_spec(k, tile), _row_spec(k, tile)],
+            out_specs=(_row_spec(n_j * m1, tile), _row_spec(n_j * m1, tile),
+                       _row_spec(n_j * m2, tile), _row_spec(n_j * m2, tile)),
             interpret=interpret,
         )(*args[:4], *(jnp.asarray(t) for t in tables_b), *args[4:])
-        return de_r[:rows], de_i[:rows], dq_r[:rows], dq_i[:rows]
+        return outs if pad == 0 else tuple(o[:rows] for o in outs)
 
     @jax.custom_vjp
     def fused(e_r, e_i, q_r, q_i):
@@ -227,16 +235,20 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
     rows = B * N * tau
 
     sph = jax.lax.stop_gradient(sph_packed)
-    # Edge rep in XLA, row layout (b, i, t) x lanes (j, m): the repeat-gather,
-    # multiply, and j<->tau transpose fuse into one producer; the radial VJP
-    # (and the atom rep's neighbor-sum VJP below) fall out automatically.
+    # Edge rep in XLA, row layout (b, i, t) x lanes (j, m). The j<->tau
+    # transpose happens on the SMALL pre-expansion tensors (rad before the
+    # m-repeat, atom/sph before their broadcasts) so the m1-wide 2D kernel
+    # operands are written once, in-layout, by the fused producers — an
+    # earlier variant transposed the expanded [rows, N*m1] tensors and those
+    # layout copies were ~30% of the step in the device trace
+    # (experiments/perf/). The radial VJP (and the atom rep's neighbor-sum
+    # VJP) fall out of the surrounding ops automatically.
     reps = np.array([2 * l + 1 for l in range(n_l)])
-    rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,
-                       total_repeat_length=m1)          # [B, N, N, tau, m1]
-    e_r = rad_m * sph[..., 0][:, :, :, None, :]
-    e_i = rad_m * sph[..., 1][:, :, :, None, :]
-    e_r = jnp.swapaxes(e_r, 2, 3).reshape(rows, N * m1)
-    e_i = jnp.swapaxes(e_i, 2, 3).reshape(rows, N * m1)
+    rad_t = jnp.swapaxes(rad_feats, 2, 3)               # [B, N, tau, N, L]
+    rad_m = jnp.repeat(rad_t, repeats=reps, axis=-1,
+                       total_repeat_length=m1)          # [B, N, tau, N, m1]
+    e_r = (rad_m * sph[..., 0][:, :, None, :, :]).reshape(rows, N * m1)
+    e_i = (rad_m * sph[..., 1][:, :, None, :, :]).reshape(rows, N * m1)
 
     qshape = (B, N, tau, N, m2)
     q_rt = jnp.swapaxes(atom_packed, 1, 2)[:, None]     # [B, 1, tau, N, m2, 2]
@@ -245,7 +257,7 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
 
     fused = _make_row_fn(N, m1, m2, k,
                          np.ascontiguousarray(table3, np.float32).tobytes(),
-                         interpret)
+                         _pick_row_tile(rows), interpret)
     out_r, out_i = fused(e_r, e_i, q_r, q_i)
     out = jnp.stack([out_r, out_i], axis=-1)
     return out.reshape(B, N, tau, k, 2)

@@ -172,6 +172,12 @@ def build_default_argparser() -> argparse.ArgumentParser:
     parser.add_argument('--profile', help='capture a jax.profiler trace of one '
                         'training iteration into <log_dir>/profile',
                         action='store_true', default=False)
+    parser.add_argument('--agg_backend',
+                        help='backend for the covariant edge aggregation: '
+                             'auto = fused Pallas kernel on TPU, XLA einsum '
+                             'elsewhere',
+                        type=str, default='auto',
+                        choices=['auto', 'einsum', 'pallas'])
     parser.add_argument('--multihost',
                         help='initialize jax.distributed for multi-host meshes '
                              '(same program per host; artifacts rank-tagged)',

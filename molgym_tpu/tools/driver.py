@@ -133,6 +133,9 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     util.set_seeds(config['seed'])
     select_platform(config.get('device', 'auto'),
                     num_devices=config.get('num_devices', 0) or 0)
+    if config.get('agg_backend'):
+        from molgym_tpu.ops.cg import set_aggregate_backend
+        set_aggregate_backend(config['agg_backend'])
 
     rank = None
     if config.get('multihost'):
