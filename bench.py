@@ -148,16 +148,25 @@ def time_grad(grad_fn, params, iters=30):
 
 def hlo_flops(grad_fn, params):
     """Host-side HLO flop count (pre-optimization); lowered for CPU because
-    the tunneled TPU plugin returns None from cost_analysis."""
+    the tunneled TPU plugin returns None from cost_analysis. The Pallas
+    kernels cannot lower for CPU, so the fallback lowers the einsum-backend
+    equivalent (same math, backend-independent flops)."""
     import jax
+
+    from molgym_tpu.ops import cg as cg_mod
     ca = grad_fn.lower(params).cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     if ca is None:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
-        with jax.default_device(jax.devices('cpu')[0]):
-            ca = grad_fn.lower(abstract).cost_analysis() or {}
+        saved = cg_mod.aggregate_backend()
+        cg_mod.set_aggregate_backend('einsum')
+        try:
+            with jax.default_device(jax.devices('cpu')[0]):
+                ca = grad_fn.lower(abstract).cost_analysis() or {}
+        finally:
+            cg_mod.set_aggregate_backend(saved)
     return float(ca.get('flops', 0.0))
 
 
@@ -253,6 +262,40 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
         grad_fn, params = build_grad_fn(encoder_dtype='bfloat16')
         return round(time_grad(grad_fn, params), 3)
 
+    def internal_agent():
+        # second model family (reference ICML-2020 SchNet agent): fwd+bwd
+        # per SF6 minibatch through the batched cfconv SchNet encoder
+        import jax
+        import jax.numpy as jnp
+
+        from molgym_tpu.agents.schnet import make_schnet_agent
+        from molgym_tpu.spaces import Observation
+        agent = make_schnet_agent(num_zs=len(ZS), canvas_size=CANVAS,
+                                  network_width=WIDTH,
+                                  min_max_distance=(1.10, 2.10),
+                                  n_interactions=3)
+        elements, positions, bag = make_batch()
+        with jax.default_device(jax.devices('cpu')[0]):
+            obs_cpu = Observation(elements=jnp.asarray(elements),
+                                  positions=jnp.asarray(positions),
+                                  bag=jnp.asarray(bag))
+            rng = jax.random.PRNGKey(0)
+            params = agent.init(rng, obs_cpu, rng, method=agent.act)
+            actions = agent.apply(params, obs_cpu, rng, False,
+                                  method=agent.act).action_flat
+        dev = jax.devices()[0]
+        obs = jax.device_put(obs_cpu, dev)
+        params = jax.device_put(params, dev)
+        actions = jax.device_put(actions, dev)
+
+        def loss_fn(p):
+            logp, ent, v = agent.apply(p, obs, actions,
+                                       method=agent.evaluate)
+            return (jnp.mean(logp) + 0.5 * jnp.mean(jnp.square(v))
+                    + 0.01 * jnp.mean(ent))
+
+        return round(time_grad(jax.jit(jax.grad(loss_fn)), params), 3)
+
     def einsum_agg():
         # the default aggregate backend is the fused Pallas kernel on TPU
         # (ops/cg.py 'auto'); this times the XLA einsum path for comparison
@@ -268,6 +311,7 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
     guard('ms_batch_2240', batch_2240)
     guard('ms_bf16', bf16)
     guard('ms_einsum_agg', einsum_agg)
+    guard('ms_internal_agent', internal_agent)
     guard('env_steps_per_sec_eht',
           lambda: round(bench_env_steps_qm(True, 'EHT'), 1))
     guard('env_steps_per_sec_eht_serial',

@@ -44,12 +44,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 def _pick_row_tile(rows: int) -> int:
-    """Largest multiple-of-8 divisor of `rows` up to 512 — when one exists
+    """Largest multiple-of-8 divisor of `rows` up to 288 — when one exists
     the kernel needs no row padding and no output slice (the pad/slice
     copies of the m1-wide operands were ~8% of the step in the device
-    trace). Falls back to 256 + padding."""
-    for tile in range(min(512, rows), 7, -8):
-        if tile % 8 == 0 and rows % tile == 0:
+    trace). Falls back to 256 + padding. The cap keeps the kernel's live
+    [tile, m1*m2] temporaries inside Mosaic's 16M scoped-vmem stack at
+    maxl=4 (a 448-row tile measured 17.2M and failed to compile)."""
+    for tile in range(min(288, rows - rows % 8), 7, -8):
+        if rows % tile == 0:
             return tile
     return 256
 
