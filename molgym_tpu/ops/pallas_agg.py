@@ -24,15 +24,25 @@ per-(m, j) lane slicing (an earlier variant fully unrolled that loop and
 overflowed Mosaic's 16M scoped-vmem stack with hundreds of live lane-padded
 [R, 1] temporaries).
 
-Complex numbers travel as separate real/imag operands (a trailing axis of 2
-would be lane-padded 2->128). The edge rep e = rad_m * conj(Y) is built by
-XLA *outside* the kernel in compact 2D row layout — XLA fuses the gather and
-multiply into the producers, and the VJPs to the radial features and the atom
-rep (neighbor-sum) fall out of the surrounding broadcast/reshape ops
-automatically. The kernel's own backward is a second Pallas kernel with the
-same loop structure wired through jax.custom_vjp. The spherical harmonics
-receive no gradient (positions are inputs, not parameters, in every PPO
-training path) — enforced via stop_gradient at the entry point.
+Two operand-feeding strategies, selected by shape (_grouped_tile):
+
+* GROUPED (production shapes): the row space groups as tau rows per (b, i)
+  and N*tau rows per b, so the relative SH and the atom rep enter as SMALL
+  unexpanded operands with aligned 3D BlockSpecs; the kernel expands them to
+  row form in VMEM with static selection matmuls, builds e = rad_m * Y on
+  the fly, and reduces the atom-rep gradient over i in-kernel (transposed
+  selection). No [rows, N*m1]-sized tensor ever exists in HBM — this removed
+  the producer/layout copies that dominated the traced step (~35%) and took
+  the SF6 minibatch from 11.8 to 9.6 ms.
+* FALLBACK (row tile incompatible with the (tau, N*tau) grouping): e and q
+  are materialized by XLA in compact 2D row layout (transposes on the small
+  pre-expansion tensors only) and enter as full row operands.
+
+Complex numbers travel as separate real/imag operands (a trailing complex
+axis of 2 would be lane-padded 2->128). Backward is a second Pallas kernel
+per strategy wired through jax.custom_vjp. The spherical harmonics receive
+no gradient (positions are inputs, not parameters, in every PPO training
+path) — enforced via stop_gradient at the entry point.
 """
 from __future__ import annotations
 
@@ -42,6 +52,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+def _l_of_m(n_ells):
+    out = []
+    for l in range(n_ells):
+        out.extend([l] * (2 * l + 1))
+    return tuple(out)
+
 
 def _pick_row_tile(rows: int) -> int:
     """Largest multiple-of-8 divisor of `rows` up to 288 — when one exists
@@ -216,6 +233,238 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
 
 
 # ---------------------------------------------------------------------------
+# grouped variant: operands enter UNexpanded and are expanded in VMEM.
+#
+# The row space (b, i, t) groups naturally: tau consecutive rows share one
+# (b, i) — hence one row of the relative-SH operand — and N*tau consecutive
+# rows share one b — hence tau rows of the atom-rep operand. When the row
+# tile is a multiple of N*tau (and divides the row count), sph and q can be
+# passed as SMALL 2D operands with aligned BlockSpecs and expanded to row
+# form inside the kernel by static 0/1 selection matmuls (MXU). This removes
+# the [rows, N*m1]-sized e/q materializations entirely (~7x less kernel HBM
+# traffic; their producer/layout copies were ~20% of the step) and moves the
+# atom-rep gradient's reduction over i into the kernel as the transposed
+# selection matmul.
+# ---------------------------------------------------------------------------
+
+def _grouped_tile(b: int, n: int, tau: int):
+    """Row tile k*N*tau (k | B, multiple of 8, <= 288) or None."""
+    group = n * tau
+    best = None
+    k = 1
+    while k * group <= 288:
+        if (k * group) % 8 == 0 and b % k == 0:
+            best = k * group
+        k += 1
+    return best
+
+
+def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
+                        se_ref, sq_ref, gexp_ref, repm_ref, tilem_ref, c_ref,
+                        out_r_ref, out_i_ref, *, n_j, m1, m2, n_l):
+    se = se_ref[:]
+    sq = sq_ref[:]
+    gexp = gexp_ref[:]
+    repm = repm_ref[:]
+    tilem = tilem_ref[:]
+    sph_big_r = jnp.dot(se, sphr_ref[0].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    sph_big_i = jnp.dot(se, sphi_ref[0].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    q_big_r = jnp.dot(sq, qr_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    q_big_i = jnp.dot(sq, qi_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    rad = rad_ref[:].astype(jnp.float32)
+    rows = rad.shape[0]
+    p = m1 * m2
+    z_r = jnp.zeros((rows, p), jnp.float32)
+    z_i = jnp.zeros((rows, p), jnp.float32)
+    for j in range(n_j):
+        radx = jnp.dot(rad[:, j * n_l:(j + 1) * n_l], gexp,
+                       preferred_element_type=jnp.float32)
+        er = radx * sph_big_r[:, j * m1:(j + 1) * m1]
+        ei = radx * sph_big_i[:, j * m1:(j + 1) * m1]
+        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
+        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
+        big_qr = jnp.dot(q_big_r[:, j * m2:(j + 1) * m2], tilem,
+                         preferred_element_type=jnp.float32)
+        big_qi = jnp.dot(q_big_i[:, j * m2:(j + 1) * m2], tilem,
+                         preferred_element_type=jnp.float32)
+        z_r = z_r + big_er * big_qr - big_ei * big_qi
+        z_i = z_i + big_er * big_qi + big_ei * big_qr
+    c = c_ref[:]
+    out_r_ref[:] = jnp.dot(z_r, c, preferred_element_type=jnp.float32).astype(
+        out_r_ref.dtype)
+    out_i_ref[:] = jnp.dot(z_i, c, preferred_element_type=jnp.float32).astype(
+        out_i_ref.dtype)
+
+
+def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
+                        se_ref, sq_ref, sqt_ref, gexp_ref, gexpt_ref,
+                        repm_ref, tilem_ref, repm_t_ref, tilem_t_ref, ct_ref,
+                        g_r_ref, g_i_ref,
+                        drad_ref, dq_r_ref, dq_i_ref, *, n_j, m1, m2, n_l):
+    se = se_ref[:]
+    sq = sq_ref[:]
+    gexp = gexp_ref[:]
+    repm = repm_ref[:]
+    tilem = tilem_ref[:]
+    repm_t = repm_t_ref[:]
+    tilem_t = tilem_t_ref[:]
+    sph_big_r = jnp.dot(se, sphr_ref[0].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    sph_big_i = jnp.dot(se, sphi_ref[0].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    q_big_r = jnp.dot(sq, qr_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    q_big_i = jnp.dot(sq, qi_ref[0].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    rad = rad_ref[:].astype(jnp.float32)
+    g_r = g_r_ref[:].astype(jnp.float32)
+    g_i = g_i_ref[:].astype(jnp.float32)
+    dz_r = jnp.dot(g_r, ct_ref[:], preferred_element_type=jnp.float32)
+    dz_i = jnp.dot(g_i, ct_ref[:], preferred_element_type=jnp.float32)
+    dq_slabs_r = []
+    dq_slabs_i = []
+    for j in range(n_j):
+        radx = jnp.dot(rad[:, j * n_l:(j + 1) * n_l], gexp,
+                       preferred_element_type=jnp.float32)
+        sr = sph_big_r[:, j * m1:(j + 1) * m1]
+        si = sph_big_i[:, j * m1:(j + 1) * m1]
+        er = radx * sr
+        ei = radx * si
+        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
+        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
+        big_qr = jnp.dot(q_big_r[:, j * m2:(j + 1) * m2], tilem,
+                         preferred_element_type=jnp.float32)
+        big_qi = jnp.dot(q_big_i[:, j * m2:(j + 1) * m2], tilem,
+                         preferred_element_type=jnp.float32)
+        d_er = dz_r * big_qr + dz_i * big_qi
+        d_ei = dz_i * big_qr - dz_r * big_qi
+        d_qr = dz_r * big_er + dz_i * big_ei
+        d_qi = dz_i * big_er - dz_r * big_ei
+        de_r = jnp.dot(d_er, repm_t, preferred_element_type=jnp.float32)
+        de_i = jnp.dot(d_ei, repm_t, preferred_element_type=jnp.float32)
+        dradx = de_r * sr + de_i * si
+        drad_ref[:, j * n_l:(j + 1) * n_l] = jnp.dot(
+            dradx, gexpt_ref[:], preferred_element_type=jnp.float32).astype(
+                drad_ref.dtype)
+        dq_slabs_r.append(jnp.dot(d_qr, tilem_t,
+                                  preferred_element_type=jnp.float32))
+        dq_slabs_i.append(jnp.dot(d_qi, tilem_t,
+                                  preferred_element_type=jnp.float32))
+    # reduce the atom-rep gradient over i inside the kernel
+    dq_r_ref[0] = jnp.dot(sqt_ref[:], jnp.concatenate(dq_slabs_r, axis=-1),
+                          preferred_element_type=jnp.float32).astype(
+                              dq_r_ref.dtype)
+    dq_i_ref[0] = jnp.dot(sqt_ref[:], jnp.concatenate(dq_slabs_i, axis=-1),
+                          preferred_element_type=jnp.float32).astype(
+                              dq_i_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
+                     tau: int, tile: int, table_bytes: bytes,
+                     interpret: bool):
+    cflat = np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k)
+    repm = np.kron(np.eye(m1, dtype=np.float32),
+                   np.ones((1, m2), np.float32))
+    tilem = np.kron(np.ones((1, m1), np.float32),
+                    np.eye(m2, dtype=np.float32))
+    gexp = np.zeros((n_l, m1), np.float32)
+    for m, l in enumerate(_l_of_m(n_l)):
+        gexp[l, m] = 1.0
+    se = np.zeros((tile, tile // tau), np.float32)
+    for r in range(tile):
+        se[r, r // tau] = 1.0
+    sq = np.zeros((tile, tile // n_j), np.float32)
+    for r in range(tile):
+        sq[r, (r // (n_j * tau)) * tau + r % tau] = 1.0
+    tables_f = (se, sq, gexp, repm, tilem, cflat)
+    tables_b = (se, sq, sq.T.copy(), gexp, gexp.T.copy(), repm, tilem,
+                repm.T.copy(), tilem.T.copy(), cflat.T.copy())
+
+    def _tiled3(width, rows_per_tile):
+        # [n_tiles, rows_per_tile, width] operand; the trailing dims equal
+        # the block dims, which Mosaic accepts for any sizes
+        return pl.BlockSpec((1, rows_per_tile, width), lambda i: (i, 0, 0))
+
+    def run_fwd(rad, sph_r, sph_i, q_r, q_i):
+        rows = rad.shape[0]
+        grid = rows // tile
+        sph3 = (sph_r.reshape(grid, tile // tau, -1),
+                sph_i.reshape(grid, tile // tau, -1))
+        q3 = (q_r.reshape(grid, tile // n_j, -1),
+              q_i.reshape(grid, tile // n_j, -1))
+        out_r, out_i = pl.pallas_call(
+            functools.partial(_grouped_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
+                              n_l=n_l),
+            out_shape=(jax.ShapeDtypeStruct((rows, k), rad.dtype),
+                       jax.ShapeDtypeStruct((rows, k), rad.dtype)),
+            grid=(grid, ),
+            in_specs=[_row_spec(n_j * n_l, tile),
+                      _tiled3(n_j * m1, tile // tau),
+                      _tiled3(n_j * m1, tile // tau),
+                      _tiled3(n_j * m2, tile // n_j),
+                      _tiled3(n_j * m2, tile // n_j)] +
+                     [_full_spec(t.shape) for t in tables_f],
+            out_specs=(_row_spec(k, tile), _row_spec(k, tile)),
+            interpret=interpret,
+        )(rad, *sph3, *q3, *(jnp.asarray(t) for t in tables_f))
+        return out_r, out_i
+
+    def run_bwd(rad, sph_r, sph_i, q_r, q_i, g_r, g_i):
+        rows = rad.shape[0]
+        grid = rows // tile
+        sph3 = (sph_r.reshape(grid, tile // tau, -1),
+                sph_i.reshape(grid, tile // tau, -1))
+        q3 = (q_r.reshape(grid, tile // n_j, -1),
+              q_i.reshape(grid, tile // n_j, -1))
+        drad, dq_r, dq_i = pl.pallas_call(
+            functools.partial(_grouped_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
+                              n_l=n_l),
+            out_shape=(jax.ShapeDtypeStruct((rows, n_j * n_l), rad.dtype),
+                       jax.ShapeDtypeStruct((grid, tile // n_j, n_j * m2),
+                                            q_r.dtype),
+                       jax.ShapeDtypeStruct((grid, tile // n_j, n_j * m2),
+                                            q_i.dtype)),
+            grid=(grid, ),
+            in_specs=[_row_spec(n_j * n_l, tile),
+                      _tiled3(n_j * m1, tile // tau),
+                      _tiled3(n_j * m1, tile // tau),
+                      _tiled3(n_j * m2, tile // n_j),
+                      _tiled3(n_j * m2, tile // n_j)] +
+                     [_full_spec(t.shape) for t in tables_b] +
+                     [_row_spec(k, tile), _row_spec(k, tile)],
+            out_specs=(_row_spec(n_j * n_l, tile),
+                       _tiled3(n_j * m2, tile // n_j),
+                       _tiled3(n_j * m2, tile // n_j)),
+            interpret=interpret,
+        )(rad, *sph3, *q3, *(jnp.asarray(t) for t in tables_b), g_r, g_i)
+        return (drad, dq_r.reshape(rows // n_j, -1),
+                dq_i.reshape(rows // n_j, -1))
+
+    @jax.custom_vjp
+    def fused(rad, sph_r, sph_i, q_r, q_i):
+        return run_fwd(rad, sph_r, sph_i, q_r, q_i)
+
+    def fwd(rad, sph_r, sph_i, q_r, q_i):
+        return (run_fwd(rad, sph_r, sph_i, q_r, q_i),
+                (rad, sph_r, sph_i, q_r, q_i))
+
+    def bwd(res, grads):
+        rad, sph_r, sph_i, q_r, q_i = res
+        g_r, g_i = grads
+        drad, dq_r, dq_i = run_bwd(rad, sph_r, sph_i, q_r, q_i, g_r, g_i)
+        zs = jnp.zeros_like(sph_r)
+        return drad, zs, zs, dq_r, dq_i
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+# ---------------------------------------------------------------------------
 # public entry: packed SO3 shapes in, packed K-form out
 # ---------------------------------------------------------------------------
 
@@ -237,16 +486,31 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
     rows = B * N * tau
 
     sph = jax.lax.stop_gradient(sph_packed)
-    # Edge rep in XLA, row layout (b, i, t) x lanes (j, m). The j<->tau
-    # transpose happens on the SMALL pre-expansion tensors (rad before the
-    # m-repeat, atom/sph before their broadcasts) so the m1-wide 2D kernel
-    # operands are written once, in-layout, by the fused producers — an
-    # earlier variant transposed the expanded [rows, N*m1] tensors and those
-    # layout copies were ~30% of the step in the device trace
-    # (experiments/perf/). The radial VJP (and the atom rep's neighbor-sum
-    # VJP) fall out of the surrounding ops automatically.
-    reps = np.array([2 * l + 1 for l in range(n_l)])
+    table_bytes = np.ascontiguousarray(table3, np.float32).tobytes()
     rad_t = jnp.swapaxes(rad_feats, 2, 3)               # [B, N, tau, N, L]
+
+    gtile = _grouped_tile(B, N, tau)
+    if gtile is not None:
+        # grouped path: operands enter unexpanded; the kernel expands them
+        # in VMEM with static selection matmuls (see the section comment)
+        rad2d = rad_t.reshape(rows, N * n_l)
+        sph_r = sph[..., 0].reshape(B * N, N * m1)
+        sph_i = sph[..., 1].reshape(B * N, N * m1)
+        q_t = jnp.swapaxes(atom_packed, 1, 2)           # [B, tau, N, m2, 2]
+        q_r = q_t[..., 0].reshape(B * tau, N * m2)
+        q_i = q_t[..., 1].reshape(B * tau, N * m2)
+        fused = _make_grouped_fn(N, m1, m2, n_l, k, tau, gtile, table_bytes,
+                                 interpret)
+        out_r, out_i = fused(rad2d, sph_r, sph_i, q_r, q_i)
+        out = jnp.stack([out_r, out_i], axis=-1)
+        return out.reshape(B, N, tau, k, 2)
+
+    # fallback: edge rep built in XLA, row layout (b, i, t) x lanes (j, m).
+    # The j<->tau transpose happens on the SMALL pre-expansion tensors so
+    # the m1-wide 2D kernel operands are written once, in-layout, by the
+    # fused producers. The radial VJP (and the atom rep's neighbor-sum VJP)
+    # fall out of the surrounding ops automatically.
+    reps = np.array([2 * l + 1 for l in range(n_l)])
     rad_m = jnp.repeat(rad_t, repeats=reps, axis=-1,
                        total_repeat_length=m1)          # [B, N, tau, N, m1]
     e_r = (rad_m * sph[..., 0][:, :, None, :, :]).reshape(rows, N * m1)
@@ -257,9 +521,8 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
     q_r = jnp.broadcast_to(q_rt[..., 0], qshape).reshape(rows, N * m2)
     q_i = jnp.broadcast_to(q_rt[..., 1], qshape).reshape(rows, N * m2)
 
-    fused = _make_row_fn(N, m1, m2, k,
-                         np.ascontiguousarray(table3, np.float32).tobytes(),
-                         _pick_row_tile(rows), interpret)
+    fused = _make_row_fn(N, m1, m2, k, table_bytes, _pick_row_tile(rows),
+                         interpret)
     out_r, out_i = fused(e_r, e_i, q_r, q_i)
     out = jnp.stack([out_r, out_i], axis=-1)
     return out.reshape(B, N, tau, k, 2)

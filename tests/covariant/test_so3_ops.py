@@ -343,10 +343,18 @@ class TestFusedAggregateKernel:
     """ops/pallas_agg.py (fused edge-build + CG aggregate) vs the einsum
     oracle, forward and gradients, in interpret mode."""
 
+    @pytest.mark.parametrize('path', ['grouped', 'fallback'])
     @pytest.mark.parametrize('atom_n_ells,tau', [(1, 5), (4, 6)])
-    def test_fwd_and_grads_match_einsum(self, atom_n_ells, tau):
+    def test_fwd_and_grads_match_einsum(self, atom_n_ells, tau, path,
+                                        monkeypatch):
+        from molgym_tpu.ops import pallas_agg
         from molgym_tpu.ops.cg import _fused_cg_table, cg_aggregate_packed
         from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused
+        if path == 'grouped':
+            assert pallas_agg._grouped_tile(2, 4, tau) is not None
+        else:
+            monkeypatch.setattr(pallas_agg, '_grouped_tile',
+                                lambda *a: None)
 
         maxl = 3
         B, N = 2, 4
