@@ -28,6 +28,7 @@
 #include <cmath>
 #include <cstring>
 #include <mutex>
+#include <unordered_map>
 #include <vector>
 
 #ifndef M_PI
@@ -1478,9 +1479,13 @@ static void density(const double* f, int n, int nocc, double* p) {
 
 // UHF SCF; returns total energy in Hartree, sets *converged; optionally
 // exports the converged spin densities (for the frozen-density gradients)
+// and accepts an initial-density guess for the leading guess_norb orbitals
+// (warm start from a parent geometry; the rest gets the standard guess).
 static double scf(const Molecule& mol, bool* converged,
                   std::vector<double>* pa_out = nullptr,
-                  std::vector<double>* pb_out = nullptr) {
+                  std::vector<double>* pb_out = nullptr,
+                  const double* pa_guess = nullptr,
+                  const double* pb_guess = nullptr, int guess_norb = 0) {
   const int norb = mol.n_orb;
   const int nn = norb * norb;
   std::vector<double> pa(nn, 0.0), pb(nn, 0.0);
@@ -1494,6 +1499,16 @@ static double scf(const Molecule& mol, bool* converged,
       pa[(o + k) * norb + o + k] = (mol.n_beta == 0) ? occ : 0.5 * occ;
       pb[(o + k) * norb + o + k] = (mol.n_beta == 0) ? 0.0 : 0.5 * occ;
     }
+  }
+  if (pa_guess && guess_norb > 0 && guess_norb <= norb) {
+    // overwrite the leading block with the parent's converged density; the
+    // guess only seeds the first Fock build (aufbau re-occupation every
+    // iteration fixes the electron count), so an approximate trace is fine
+    for (int i = 0; i < guess_norb; ++i)
+      for (int j = 0; j < guess_norb; ++j) {
+        pa[i * norb + j] = pa_guess[i * guess_norb + j];
+        pb[i * norb + j] = pb_guess[i * guess_norb + j];
+      }
   }
   std::vector<double> fa(nn), fb(nn), ptot(nn), pa_new(nn), pb_new(nn);
   constexpr int kDiisMax = 8;
@@ -1658,13 +1673,84 @@ static double frozen_density_energy(const Molecule& mol,
   return e + mol.e_nuc;
 }
 
+// Converged-density cache for SCF warm starts. The RL canvas is append-only
+// (atoms never move once placed), so the molecule evaluated at step t is the
+// step t-1 molecule plus one atom: seeding the SCF with the parent's
+// converged density block cuts the iteration count severalfold. Keys are
+// exact geometry bytes (FNV-1a); capped by total bytes, cleared on overflow
+// (correctness-free: only the warm start is lost).
+struct DensityCache {
+  std::mutex mu;
+  struct Entry {
+    int norb;
+    std::vector<double> pa, pb;
+  };
+  std::unordered_map<uint64_t, Entry> map;
+  size_t bytes = 0;
+
+  static uint64_t key(const int* zs, const double* pos, int n, int charge,
+                      int mult) {
+    uint64_t h = 1469598103934665603ull;
+    auto mix = [&h](const void* p, size_t len) {
+      const unsigned char* c = static_cast<const unsigned char*>(p);
+      for (size_t i = 0; i < len; ++i) {
+        h ^= c[i];
+        h *= 1099511628211ull;
+      }
+    };
+    mix(&n, sizeof(n));
+    mix(&charge, sizeof(charge));
+    mix(&mult, sizeof(mult));
+    mix(zs, sizeof(int) * n);
+    mix(pos, sizeof(double) * 3 * n);
+    return h;
+  }
+};
+
+static DensityCache& density_cache() {
+  static DensityCache c;
+  return c;
+}
+
 static double nddo_energy(const int* zs, const double* pos, int n, int charge,
                           int multiplicity, bool* converged) {
   *converged = false;
   if (n <= 0) return 0.0;
   Molecule mol;
   if (!build(mol, zs, pos, n, charge, multiplicity)) return NAN;
-  const double e = scf(mol, converged);
+
+  DensityCache& dc = density_cache();
+  std::vector<double> pa_guess, pb_guess;
+  int guess_norb = 0;
+  if (n > 1) {
+    // the parent geometry is the first n-1 atoms (canvas is append-only;
+    // it was evaluated with the same charge/multiplicity arguments)
+    const uint64_t pkey = DensityCache::key(zs, pos, n - 1, charge,
+                                            multiplicity);
+    std::lock_guard<std::mutex> lock(dc.mu);
+    auto it = dc.map.find(pkey);
+    if (it != dc.map.end()) {
+      guess_norb = it->second.norb;
+      pa_guess = it->second.pa;
+      pb_guess = it->second.pb;
+    }
+  }
+  std::vector<double> pa_out, pb_out;
+  const double e = scf(mol, converged, &pa_out, &pb_out,
+                       guess_norb ? pa_guess.data() : nullptr,
+                       guess_norb ? pb_guess.data() : nullptr, guess_norb);
+  if (*converged) {
+    const uint64_t k = DensityCache::key(zs, pos, n, charge, multiplicity);
+    std::lock_guard<std::mutex> lock(dc.mu);
+    const size_t entry_bytes = pa_out.size() * 2 * sizeof(double);
+    if (dc.bytes + entry_bytes > size_t(128) << 20) {  // 128 MB cap
+      dc.map.clear();
+      dc.bytes = 0;
+    }
+    if (dc.map.emplace(k, DensityCache::Entry{mol.n_orb, std::move(pa_out),
+                                              std::move(pb_out)}).second)
+      dc.bytes += entry_bytes;
+  }
   return *converged ? e : NAN;
 }
 
