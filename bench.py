@@ -26,6 +26,11 @@ extra        = secondary metrics (each individually fault-tolerant and
                env_steps_per_sec_pm6  same pipelined rollout with the native
                                       NDDO/PM6 SCF reward (reference parity
                                       backend, incl. the d shell on S)
+               ms_einsum_agg          batch-140 ms through the XLA einsum
+                                      aggregate (the non-default backend;
+                                      the headline uses the Pallas kernel)
+               ms_internal_agent      fwd+bwd ms for the SchNet (internal)
+                                      model family at the same batch
 
 Baseline methodology: the reference stack (torch + cormorant + schnetpack +
 torch-scatter) is not installable here and publishes no numbers (BASELINE.md),
