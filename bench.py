@@ -2,7 +2,11 @@
 covariant configuration (BASELINE.md: canvas 7, maxl 4, 3 CG levels, hidden
 10, 4 channels/element, minibatch 140, beta=-10).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+"extra"} TWICE: once immediately after the headline + baseline measurements
+(extras empty) so a driver timeout can never lose the number, and once more
+as the final stdout line with the extras filled in. Parsing either the first
+or the last JSON line of stdout yields a valid record.
 
 value        = our fwd+bwd milliseconds per minibatch (lower is better),
                measured on the default JAX device (TPU under the driver).
@@ -82,13 +86,9 @@ def make_batch(rng_seed=0, batch=BATCH):
 
 
 def _enable_compile_cache():
-    import os
-    import jax
-    cache_dir = os.environ.get('MOLGYM_TPU_XLA_CACHE',
-                               '/tmp/molgym_tpu_xla_cache')
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # Backend+CPU-fingerprint-keyed persistent cache (VERDICT r02 item 2).
+    from molgym_tpu.tools.util import enable_compile_cache
+    enable_compile_cache()
 
 
 def make_agent(encoder_dtype=None):
@@ -138,10 +138,16 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
     return jax.jit(jax.grad(loss_fn)), params
 
 
+LAST_COMPILE_S = 0.0  # first-call (compile+warmup) time of the last time_grad
+
+
 def time_grad(grad_fn, params, iters=30):
     import jax
+    global LAST_COMPILE_S
+    start = time.perf_counter()
     g = grad_fn(params)
     jax.block_until_ready(g)  # compile + warmup
+    LAST_COMPILE_S = time.perf_counter() - start
     g = grad_fn(params)
     jax.block_until_ready(g)
     start = time.perf_counter()
@@ -239,13 +245,25 @@ def bench_env_steps_qm(pipelined: bool, method: str = 'EHT', reps: int = 3):
     return sps
 
 
-def collect_extras(grad_fn140, params140, ms140, deadline):
-    """Secondary metrics; each guarded so the headline always prints."""
+def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
+    """Secondary metrics, cheapest first. Each extra carries a conservative
+    wall-clock estimate scaled by the HEADLINE's observed compile time (warm
+    persistent cache => seconds; cold tunneled-TPU compile => minutes) and is
+    skipped when the remaining budget cannot cover it — the deadline is
+    enforced BEFORE committing to an unboundable compile, not after
+    (VERDICT r02 item 1)."""
     extras = {}
+    skipped = []
+    # A fresh program shape costs about one headline compile; never assume
+    # less than 30 s for the tunneled-TPU round trips.
+    c = max(compile_s, 30.0)
 
-    def guard(name, fn):
-        if time.time() > deadline:
-            log(f'extra {name}: skipped (deadline)')
+    def guard(name, fn, est_s):
+        remaining = deadline - time.time()
+        if remaining < est_s:
+            log(f'extra {name}: skipped (est {est_s:.0f}s > '
+                f'remaining {remaining:.0f}s)')
+            skipped.append(name)
             return
         try:
             extras[name] = fn()
@@ -312,17 +330,19 @@ def collect_extras(grad_fn140, params140, ms140, deadline):
         finally:
             set_aggregate_backend('auto')
 
-    guard('mfu_est_pct', mfu140)
-    guard('ms_batch_2240', batch_2240)
-    guard('ms_bf16', bf16)
-    guard('ms_einsum_agg', einsum_agg)
-    guard('ms_internal_agent', internal_agent)
+    guard('mfu_est_pct', mfu140, est_s=120)  # CPU lowering, no TPU compile
+    guard('ms_bf16', bf16, est_s=c + 60)
+    guard('ms_internal_agent', internal_agent, est_s=c + 60)
+    guard('ms_einsum_agg', einsum_agg, est_s=c + 60)
     guard('env_steps_per_sec_eht',
-          lambda: round(bench_env_steps_qm(True, 'EHT'), 1))
+          lambda: round(bench_env_steps_qm(True, 'EHT'), 1), est_s=c + 90)
     guard('env_steps_per_sec_eht_serial',
-          lambda: round(bench_env_steps_qm(False, 'EHT'), 1))
+          lambda: round(bench_env_steps_qm(False, 'EHT'), 1), est_s=c + 90)
     guard('env_steps_per_sec_pm6',
-          lambda: round(bench_env_steps_qm(True, 'PM6'), 1))
+          lambda: round(bench_env_steps_qm(True, 'PM6'), 1), est_s=c + 120)
+    guard('ms_batch_2240', batch_2240, est_s=2 * c + 120)
+    if skipped:
+        extras['skipped'] = skipped
     return extras
 
 
@@ -475,24 +495,31 @@ def bench_torch_baseline(iters=3):
 
 def main():
     deadline = time.time() + float(
-        __import__('os').environ.get('MOLGYM_BENCH_BUDGET_S', 2400))
+        __import__('os').environ.get('MOLGYM_BENCH_BUDGET_S', 900))
     ours_ms, grad_fn, params = bench_ours()
+    compile_s = LAST_COMPILE_S
     try:
         baseline_ms = bench_torch_baseline()
     except Exception as exc:  # baseline must never break the bench line
         log(f'torch baseline failed: {exc!r}')
         baseline_ms = float('nan')
 
-    extras = collect_extras(grad_fn, params, ours_ms, deadline)
-
     vs_baseline = (baseline_ms / ours_ms) if np.isfinite(baseline_ms) else 0.0
-    print(json.dumps({
+    headline = {
         'metric': 'sf6_covariant_fwdbwd_ms_per_minibatch',
         'value': round(ours_ms, 3),
         'unit': 'ms',
         'vs_baseline': round(vs_baseline, 3),
-        'extra': extras,
-    }))
+        'extra': {},
+    }
+    # Print the headline NOW: extras must never be able to lose the number.
+    print(json.dumps(headline), flush=True)
+
+    headline['extra'] = collect_extras(grad_fn, params, ours_ms, deadline,
+                                       compile_s)
+    # Final stdout line carries the enriched record; first-line and
+    # last-line parsers both get a valid JSON object.
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == '__main__':

@@ -100,39 +100,55 @@ inline double pair_denergy_dr(int method, const PairParams& p, int zi, int zj,
 // recur constantly — exact-byte keying (FNV-1a over method/zs/positions)
 // turns ~3 SCF evaluations per env-step into ~1. This extends the
 // reference's atomic-energy cache (molgym/reward.py:57-62) to whole
-// canvases; SCF energies are deterministic, so hits are exact.
+// canvases; SCF energies are deterministic, so hits are exact. Entries carry
+// a SECOND, independent hash of the same key bytes that is verified on
+// lookup: a primary-hash collision (the only way a hit could be wrong) is
+// detected unless both hashes collide simultaneously (~2^-128), and falls
+// back to a recompute.
 struct EnergyCache {
   std::mutex mu;
-  std::unordered_map<uint64_t, double> map;
+  struct Entry {
+    uint64_t check;  // secondary hash of the key bytes, verified on get
+    double e;
+  };
+  std::unordered_map<uint64_t, Entry> map;
   std::atomic<long long> hits{0}, misses{0};
 
-  static uint64_t key(int method, const int* zs, const double* pos, int n) {
-    uint64_t h = 1469598103934665603ull;
-    auto mix = [&h](const unsigned char* p, size_t len) {
+  struct Key {
+    uint64_t k, check;
+  };
+
+  static Key key(int method, const int* zs, const double* pos, int n) {
+    uint64_t h1 = 1469598103934665603ull;   // FNV-1a
+    uint64_t h2 = 0x9e3779b97f4a7c15ull;    // independent splitmix-style mix
+    auto mix = [&h1, &h2](const unsigned char* p, size_t len) {
       for (size_t i = 0; i < len; ++i) {
-        h ^= p[i];
-        h *= 1099511628211ull;
+        h1 ^= p[i];
+        h1 *= 1099511628211ull;
+        h2 += p[i];
+        h2 ^= h2 >> 30;
+        h2 *= 0xbf58476d1ce4e5b9ull;
       }
     };
     mix(reinterpret_cast<const unsigned char*>(&method), sizeof(method));
     mix(reinterpret_cast<const unsigned char*>(&n), sizeof(n));
     mix(reinterpret_cast<const unsigned char*>(zs), sizeof(int) * n);
     mix(reinterpret_cast<const unsigned char*>(pos), sizeof(double) * 3 * n);
-    return h;
+    return Key{h1, h2};
   }
 
-  bool get(uint64_t k, double* e) {
+  bool get(const Key& k, double* e) {
     std::lock_guard<std::mutex> lock(mu);
-    auto it = map.find(k);
-    if (it == map.end()) return false;
-    *e = it->second;
+    auto it = map.find(k.k);
+    if (it == map.end() || it->second.check != k.check) return false;
+    *e = it->second.e;
     return true;
   }
 
-  void put(uint64_t k, double e) {
+  void put(const Key& k, double e) {
     std::lock_guard<std::mutex> lock(mu);
     if (map.size() > 200000) map.clear();  // bound memory; correctness-free
-    map.emplace(k, e);
+    map.emplace(k.k, Entry{k.check, e});
   }
 };
 
@@ -145,7 +161,7 @@ double total_energy(int method, const PairParams& p, const int* zs,
                     const double* pos, int n) {
   if (method == kExtendedHuckel || method == kPM6) {
     EnergyCache& cache = energy_cache();
-    const uint64_t k = EnergyCache::key(method, zs, pos, n);
+    const EnergyCache::Key k = EnergyCache::key(method, zs, pos, n);
     double e;
     if (cache.get(k, &e)) {
       cache.hits.fetch_add(1);

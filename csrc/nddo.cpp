@@ -54,6 +54,12 @@ struct Elem {
   // the calibration provenance of zd/udd/beta_d)
   bool has_d;
   double zd, udd, beta_d;
+  // PM6 'internal' one-center exponent set + Slater-Condon overrides for
+  // the spd integrals (f0sd/g2sd in eV, as parameterized); 0 = not set,
+  // fall back to the basis exponents / analytic values — mirrors
+  // nddo_ref.py _internal_zetas/_one_center_rk so the two backends cannot
+  // desynchronize when an element parameterizes them.
+  double zsn = 0.0, zpn = 0.0, zdn = 0.0, f0sd = 0.0, g2sd = 0.0;
 };
 
 static const Elem kElems[] = {
@@ -635,10 +641,22 @@ static double slater_rk(int k, int na, double za, int nb, double zb, int nc,
 }
 
 // R^k with electron-1 shells (s1a, s1b) and electron-2 shells (s2a, s2b)
-// (0 = s, 1 = p, 2 = d), basis exponents (no internal set parameterized)
+// (0 = s, 1 = p, 2 = d). Honors the PM6 internal exponent set and the
+// f0sd/g2sd Slater-Condon overrides exactly like nddo_ref.py
+// _one_center_rk (falls back to basis exponents when unparameterized).
 static double one_center_rk(const Elem& e, int k, int s1a, int s1b, int s2a,
                             int s2b) {
-  const double zz[3] = {e.zs, e.zp, e.zd};
+  const int a1 = s1a < s1b ? s1a : s1b, b1 = s1a < s1b ? s1b : s1a;
+  const int a2 = s2a < s2b ? s2a : s2b, b2 = s2a < s2b ? s2b : s2a;
+  if (k == 0 && e.f0sd > 0.0 &&
+      ((a1 == 0 && b1 == 0 && a2 == 2 && b2 == 2) ||
+       (a1 == 2 && b1 == 2 && a2 == 0 && b2 == 0)))
+    return e.f0sd / kEvPerHartree;
+  if (k == 2 && e.g2sd > 0.0 && a1 == 0 && b1 == 2 && a2 == 0 && b2 == 2)
+    return e.g2sd / kEvPerHartree;
+  const double zz[3] = {e.zsn > 0.0 ? e.zsn : e.zs,
+                        e.zpn > 0.0 ? e.zpn : e.zp,
+                        e.zdn > 0.0 ? e.zdn : e.zd};
   return slater_rk(k, e.n, zz[s1a], e.n, zz[s2a], e.n, zz[s1b], e.n, zz[s2b]);
 }
 
@@ -1678,24 +1696,35 @@ static double frozen_density_energy(const Molecule& mol,
 // step t-1 molecule plus one atom: seeding the SCF with the parent's
 // converged density block cuts the iteration count severalfold. Keys are
 // exact geometry bytes (FNV-1a); capped by total bytes, cleared on overflow
-// (correctness-free: only the warm start is lost).
+// (correctness-free: only the warm start is lost). Entries carry a second,
+// independent hash of the key bytes verified on lookup, so a primary-hash
+// collision cannot silently seed the SCF with an unrelated density.
 struct DensityCache {
   std::mutex mu;
   struct Entry {
+    uint64_t check;  // secondary hash, verified on lookup
     int norb;
     std::vector<double> pa, pb;
   };
   std::unordered_map<uint64_t, Entry> map;
   size_t bytes = 0;
 
-  static uint64_t key(const int* zs, const double* pos, int n, int charge,
-                      int mult) {
-    uint64_t h = 1469598103934665603ull;
-    auto mix = [&h](const void* p, size_t len) {
+  struct Key {
+    uint64_t k, check;
+  };
+
+  static Key key(const int* zs, const double* pos, int n, int charge,
+                 int mult) {
+    uint64_t h1 = 1469598103934665603ull;  // FNV-1a
+    uint64_t h2 = 0x9e3779b97f4a7c15ull;   // independent splitmix-style mix
+    auto mix = [&h1, &h2](const void* p, size_t len) {
       const unsigned char* c = static_cast<const unsigned char*>(p);
       for (size_t i = 0; i < len; ++i) {
-        h ^= c[i];
-        h *= 1099511628211ull;
+        h1 ^= c[i];
+        h1 *= 1099511628211ull;
+        h2 += c[i];
+        h2 ^= h2 >> 30;
+        h2 *= 0xbf58476d1ce4e5b9ull;
       }
     };
     mix(&n, sizeof(n));
@@ -1703,7 +1732,7 @@ struct DensityCache {
     mix(&mult, sizeof(mult));
     mix(zs, sizeof(int) * n);
     mix(pos, sizeof(double) * 3 * n);
-    return h;
+    return Key{h1, h2};
   }
 };
 
@@ -1725,11 +1754,11 @@ static double nddo_energy(const int* zs, const double* pos, int n, int charge,
   if (n > 1) {
     // the parent geometry is the first n-1 atoms (canvas is append-only;
     // it was evaluated with the same charge/multiplicity arguments)
-    const uint64_t pkey = DensityCache::key(zs, pos, n - 1, charge,
-                                            multiplicity);
+    const DensityCache::Key pkey = DensityCache::key(zs, pos, n - 1, charge,
+                                                     multiplicity);
     std::lock_guard<std::mutex> lock(dc.mu);
-    auto it = dc.map.find(pkey);
-    if (it != dc.map.end()) {
+    auto it = dc.map.find(pkey.k);
+    if (it != dc.map.end() && it->second.check == pkey.check) {
       guess_norb = it->second.norb;
       pa_guess = it->second.pa;
       pb_guess = it->second.pb;
@@ -1740,15 +1769,18 @@ static double nddo_energy(const int* zs, const double* pos, int n, int charge,
                        guess_norb ? pa_guess.data() : nullptr,
                        guess_norb ? pb_guess.data() : nullptr, guess_norb);
   if (*converged) {
-    const uint64_t k = DensityCache::key(zs, pos, n, charge, multiplicity);
+    const DensityCache::Key k = DensityCache::key(zs, pos, n, charge,
+                                                  multiplicity);
     std::lock_guard<std::mutex> lock(dc.mu);
     const size_t entry_bytes = pa_out.size() * 2 * sizeof(double);
     if (dc.bytes + entry_bytes > size_t(128) << 20) {  // 128 MB cap
       dc.map.clear();
       dc.bytes = 0;
     }
-    if (dc.map.emplace(k, DensityCache::Entry{mol.n_orb, std::move(pa_out),
-                                              std::move(pb_out)}).second)
+    if (dc.map.emplace(k.k,
+                       DensityCache::Entry{k.check, mol.n_orb,
+                                           std::move(pa_out),
+                                           std::move(pb_out)}).second)
       dc.bytes += entry_bytes;
   }
   return *converged ? e : NAN;

@@ -257,10 +257,8 @@ def main():
         from molgym_tpu.ops.cg import set_cg_backend
         set_cg_backend(args.cg)
 
-    os.makedirs('/tmp/molgym_tpu_xla_cache', exist_ok=True)
-    import jax
-    jax.config.update('jax_compilation_cache_dir', '/tmp/molgym_tpu_xla_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from molgym_tpu.tools.util import enable_compile_cache
+    enable_compile_cache()
 
     if args.sweep:
         run_sweep('f32')

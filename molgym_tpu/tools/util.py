@@ -18,6 +18,33 @@ from typing import List, Optional
 import numpy as np
 
 
+def enable_compile_cache() -> str:
+    """Enable the persistent XLA compilation cache, keyed by backend + host
+    CPU fingerprint.
+
+    XLA:CPU cache entries embed AOT machine code for the compile host's exact
+    CPU features; loading them on a different host triggers
+    cpu_aot_loader.cc feature-mismatch errors (at worst SIGILL). Keying the
+    directory by a CPU-feature hash keeps same-host reruns warm while making
+    cross-machine reuse impossible. Returns the cache directory."""
+    import hashlib
+    import platform
+
+    import jax
+    try:
+        with open('/proc/cpuinfo') as fh:
+            flags = next((ln for ln in fh if ln.startswith('flags')), '')
+    except OSError:
+        flags = ''
+    fp = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
+    base = os.environ.get('MOLGYM_TPU_XLA_CACHE', '/tmp/molgym_tpu_xla_cache')
+    cache_dir = f'{base}_{jax.default_backend()}_{fp}'
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    return cache_dir
+
+
 def get_tag(config: dict) -> str:
     return '{exp}_run-{seed}'.format(exp=config['name'], seed=config['seed'])
 

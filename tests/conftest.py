@@ -19,7 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
-# Persistent compilation cache: repeated suite runs skip XLA recompiles.
-os.makedirs('/tmp/molgym_tpu_xla_cache', exist_ok=True)
-jax.config.update('jax_compilation_cache_dir', '/tmp/molgym_tpu_xla_cache')
+# Persistent compilation cache (backend+CPU-fingerprint-keyed dir so AOT
+# CPU entries from another machine are never loaded): repeated suite runs
+# skip XLA recompiles.
+from molgym_tpu.tools.util import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
