@@ -33,6 +33,10 @@ extra        = secondary metrics (each individually fault-tolerant and
                ms_einsum_agg          batch-140 ms through the XLA einsum
                                       aggregate (the non-default backend;
                                       the headline uses the Pallas kernel)
+               auto_transport_{eht,pm6}
+                                      which host-loop transport the 'auto'
+                                      reward mode selects per backend
+                                      (measured A/B, AutoTransportRollout)
                ms_internal_agent      fwd+bwd ms for the SchNet (internal)
                                       model family at the same batch
 
@@ -245,6 +249,44 @@ def bench_env_steps_qm(pipelined: bool, method: str = 'EHT', reps: int = 3):
     return sps
 
 
+def bench_auto_transport(method: str = 'EHT') -> str:
+    """Which transport the 'auto' host-reward mode selects for this reward
+    backend (AutoTransportRollout measured A/B: serial tends to win for
+    cheap cached EHT, pipelined for PM6 SCF)."""
+    import jax
+    import numpy as np_
+
+    from molgym_tpu.calculators.native import (METHOD_EHT, METHOD_PM6,
+                                               NativeBatchCalculator)
+    from molgym_tpu.envs.environment import MolecularEnv
+    from molgym_tpu.envs.reward import make_lennard_jones_reward
+    from molgym_tpu.formula import string_to_formula
+    from molgym_tpu.rl.rollout import make_auto_host_rollout_fn
+    from molgym_tpu.spaces import ObservationSpace
+
+    num_envs, steps_per_env = 10, 14
+    space = ObservationSpace(canvas_size=CANVAS, zs=list(ZS))
+    env = MolecularEnv(
+        reward_fn=make_lennard_jones_reward(),
+        observation_space=space,
+        formulas=np_.stack([space.bag_from_formula(string_to_formula('SF6'))]))
+    agent = make_agent()
+    calc = NativeBatchCalculator(
+        method={'EHT': METHOD_EHT, 'PM6': METHOD_PM6}[method])
+    rollout = make_auto_host_rollout_fn(env, agent, calc, steps_per_env)
+
+    rng = jax.random.PRNGKey(0)
+    states = env.init_states(rng, num_envs)
+    params = agent.init(rng, states.observation(), rng, method=agent.act)
+    i = 0
+    while rollout.choice is None and i < 8:
+        _, traj = rollout(params, states, jax.random.fold_in(rng, i))
+        jax.block_until_ready(traj.rewards)
+        i += 1
+    log(f'auto transport for {method}: {rollout.choice}')
+    return rollout.choice
+
+
 def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
     """Secondary metrics, cheapest first. Each extra carries a conservative
     wall-clock estimate scaled by the HEADLINE's observed compile time (warm
@@ -340,6 +382,12 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
           lambda: round(bench_env_steps_qm(False, 'EHT'), 1), est_s=c + 90)
     guard('env_steps_per_sec_pm6',
           lambda: round(bench_env_steps_qm(True, 'PM6'), 1), est_s=c + 120)
+    # transport 'auto' picks per reward backend (programs shared with the
+    # env-steps extras above, so these mostly reuse compiled code)
+    guard('auto_transport_eht', lambda: bench_auto_transport('EHT'),
+          est_s=120)
+    guard('auto_transport_pm6', lambda: bench_auto_transport('PM6'),
+          est_s=180)
     guard('ms_batch_2240', batch_2240, est_s=2 * c + 120)
     if skipped:
         extras['skipped'] = skipped

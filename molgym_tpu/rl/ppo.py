@@ -28,7 +28,8 @@ import optax
 
 from molgym_tpu.envs.environment import MolecularEnv
 from molgym_tpu.rl.buffer import buffer_stats, compute_ppo_data, episode_stats
-from molgym_tpu.rl.rollout import (make_host_loop_rollout_fn,
+from molgym_tpu.rl.rollout import (make_auto_host_rollout_fn,
+                                   make_host_loop_rollout_fn,
                                    make_pipelined_host_rollout_fn,
                                    make_rollout_fn)
 
@@ -216,12 +217,18 @@ def batch_ppo(
         # Host-orchestrated stepping: required on backends without
         # io_callback support. The pipelined variant overlaps the host QM
         # reward batch with the next policy forward, with an exact fixup
-        # (rl/rollout.py make_pipelined_host_rollout_fn).
-        make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
-                     else make_host_loop_rollout_fn)
-        rollout_fn = make_loop(
-            envs, agent, host_loop_calculator, steps_per_env,
-            deterministic=False, distance_penalty=host_distance_penalty)
+        # (rl/rollout.py make_pipelined_host_rollout_fn). 'auto' measures
+        # both transports on the first warm iterations and keeps the winner.
+        if host_loop_pipelined == 'auto':
+            rollout_fn = make_auto_host_rollout_fn(
+                envs, agent, host_loop_calculator, steps_per_env,
+                deterministic=False, distance_penalty=host_distance_penalty)
+        else:
+            make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
+                         else make_host_loop_rollout_fn)
+            rollout_fn = make_loop(
+                envs, agent, host_loop_calculator, steps_per_env,
+                deterministic=False, distance_penalty=host_distance_penalty)
     else:
         rollout_fn = make_rollout_fn(envs, agent, steps_per_env,
                                      deterministic=False)
@@ -239,11 +246,28 @@ def batch_ppo(
         # num_eval_episodes are kept (asserted below at use).
         eval_steps = num_eval_episodes * (eval_envs.canvas_size + 1)
         if host_loop_calculator is not None:
-            make_loop = (make_pipelined_host_rollout_fn if host_loop_pipelined
-                         else make_host_loop_rollout_fn)
-            eval_rollout_fn = make_loop(
-                eval_envs, agent, host_loop_calculator, eval_steps,
-                deterministic=True, distance_penalty=host_distance_penalty)
+            # Under 'auto' the eval rollout follows whichever transport the
+            # training selector picked (or pipelined until it has); the two
+            # transports are trajectory-identical, so this is a perf knob.
+            if host_loop_pipelined == 'auto':
+                def eval_rollout_fn(p, s, k, _cache={}):
+                    name = getattr(rollout_fn, 'choice', None) or 'pipelined'
+                    if name not in _cache:
+                        make_loop = (make_pipelined_host_rollout_fn
+                                     if name == 'pipelined'
+                                     else make_host_loop_rollout_fn)
+                        _cache[name] = make_loop(
+                            eval_envs, agent, host_loop_calculator, eval_steps,
+                            deterministic=True,
+                            distance_penalty=host_distance_penalty)
+                    return _cache[name](p, s, k)
+            else:
+                make_loop = (make_pipelined_host_rollout_fn
+                             if host_loop_pipelined
+                             else make_host_loop_rollout_fn)
+                eval_rollout_fn = make_loop(
+                    eval_envs, agent, host_loop_calculator, eval_steps,
+                    deterministic=True, distance_penalty=host_distance_penalty)
         else:
             eval_rollout_fn = make_rollout_fn(eval_envs, agent, eval_steps,
                                               deterministic=True)
@@ -284,6 +308,8 @@ def batch_ppo(
                      if host_reward_timer is not None
                      and hasattr(host_reward_timer, 'total_time') else None)
         rng, key = jax.random.split(rng)
+        transport = (rollout_fn.current_transport()
+                     if hasattr(rollout_fn, 'current_transport') else None)
         states, traj = rollout_fn(params, states, key)
         traj = jax.block_until_ready(traj)
         returns, lengths = episode_stats(np.asarray(traj.rewards),
@@ -299,6 +325,7 @@ def batch_ppo(
             'return_std': float(np.std(returns)) if returns else float('nan'),
             'episode_length_mean': float(np.mean(lengths)) if lengths else float('nan'),
             'episode_length_std': float(np.std(lengths)) if lengths else float('nan'),
+            **({'transport': transport} if transport is not None else {}),
         }
         logging.info(f'Training rollout: return={train_info["return_mean"]:.3f} '
                      f'({train_info["return_std"]:.1f}), episode '

@@ -290,3 +290,74 @@ def make_pipelined_host_rollout_fn(env: MolecularEnv, agent,
         return states, traj
 
     return rollout
+
+
+class AutoTransportRollout:
+    """Measured A/B selection between host-loop transports.
+
+    With the geometry-keyed host energy cache, cheap rewards (EHT) make the
+    SERIAL loop faster (fewer device dispatches per step) while expensive
+    rewards (PM6 SCF) favor the PIPELINED loop (QM batch overlaps the next
+    policy forward) — so a static default picks the loser for one of them.
+    This wrapper runs each transport once to compile (calls 0-1), once warm
+    to time it (calls 2-3), then locks in the faster transport for the rest
+    of training. Both transports produce bitwise-identical trajectories
+    (make_pipelined_host_rollout_fn docstring), so switching mid-training is
+    semantics-free.
+
+    `fns` maps transport name -> rollout fn with the (params, states, rng)
+    -> (states, Trajectory) contract; insertion order sets the probe order.
+    """
+
+    def __init__(self, fns):
+        import collections
+        self._fns = collections.OrderedDict(fns)
+        assert len(self._fns) >= 2
+        self._order = list(self._fns)
+        self._calls = 0
+        self._times = {}
+        self.choice = None
+
+    def current_transport(self) -> str:
+        if self.choice is not None:
+            return self.choice
+        return self._order[self._calls % len(self._order)]
+
+    def __call__(self, params, states, rng):
+        import logging
+        import time as _time
+
+        if self.choice is not None:
+            return self._fns[self.choice](params, states, rng)
+        name = self.current_transport()
+        warm = self._calls >= len(self._order)
+        t0 = _time.perf_counter()
+        out_states, traj = self._fns[name](params, states, rng)
+        traj = jax.block_until_ready(traj)
+        if warm:  # first pass per transport is compile+run; don't score it
+            self._times[name] = _time.perf_counter() - t0
+        self._calls += 1
+        if len(self._times) == len(self._order):
+            self.choice = min(self._times, key=self._times.__getitem__)
+            timing = ', '.join(f'{n}: {t * 1e3:.0f} ms'
+                               for n, t in self._times.items())
+            logging.info(f'host-reward transport auto-selected '
+                         f'{self.choice!r} ({timing})')
+        return out_states, traj
+
+
+def make_auto_host_rollout_fn(env: MolecularEnv, agent, batch_calculator,
+                              num_steps_per_env: int,
+                              deterministic: bool = False,
+                              distance_penalty: float = 0.0
+                              ) -> AutoTransportRollout:
+    """Auto-selecting host-loop rollout: measures pipelined vs serial on the
+    first warm iterations and keeps the winner (VERDICT r02 item 6)."""
+    common = dict(deterministic=deterministic,
+                  distance_penalty=distance_penalty)
+    return AutoTransportRollout({
+        'pipelined': make_pipelined_host_rollout_fn(
+            env, agent, batch_calculator, num_steps_per_env, **common),
+        'serial': make_host_loop_rollout_fn(
+            env, agent, batch_calculator, num_steps_per_env, **common),
+    })

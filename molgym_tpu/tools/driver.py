@@ -157,14 +157,19 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
 
     host_loop_calc = None
     mode = config.get('host_reward_mode', 'auto')
-    pipelined = mode != 'loop_serial'
+    # 'loop' forces pipelined, 'loop_serial' forces serial; 'auto' measures
+    # both transports on the first warm iterations and keeps the winner
+    # (AutoTransportRollout — with the host energy cache, cheap rewards favor
+    # the serial loop and expensive SCF rewards the pipelined one).
+    pipelined = {'loop': True, 'loop_serial': False}.get(mode, 'auto')
     if host_calc is not None:
         if mode in ('loop', 'loop_serial') or (
                 mode == 'auto' and not supports_host_callbacks()):
             logging.info(
                 'Host rewards via %s host-loop rollout (backend lacks '
                 'io_callback support or forced)',
-                'pipelined' if pipelined else 'serial')
+                {'loop': 'pipelined', 'loop_serial': 'serial'}.get(
+                    mode, 'auto-selected'))
             host_loop_calc = host_calc
 
     train_env, eval_env = env_builder(config, observation_space, reward_fn)

@@ -152,3 +152,59 @@ class TestTimedCalculator:
         assert calc.total_calls == 1
         assert calc.total_time > 0.0
         assert calc.pool_stats()[0] >= 3
+
+
+class TestAutoTransportRollout:
+    """'auto' host-reward transport: measured A/B between the pipelined and
+    serial loops on the first warm iterations, winner locked in after
+    (VERDICT r02 item 6 — the static pipelined default picked the loser for
+    cheap cached rewards)."""
+
+    def test_selects_faster_stub_and_locks_in(self):
+        import time
+
+        from molgym_tpu.rl.rollout import AutoTransportRollout
+
+        calls = []
+
+        def make_stub(name, delay):
+            def fn(params, states, rng):
+                calls.append(name)
+                time.sleep(delay)
+                return states, {'rewards': np.zeros(3)}
+            return fn
+
+        auto = AutoTransportRollout({'pipelined': make_stub('pipelined', 0.08),
+                                     'serial': make_stub('serial', 0.002)})
+        for _ in range(6):
+            auto(None, None, None)
+        # probe order: compile pass + warm timed pass for each, then winner
+        assert calls[:4] == ['pipelined', 'serial', 'pipelined', 'serial']
+        assert auto.choice == 'serial'
+        assert calls[4:] == ['serial', 'serial']
+        assert auto.current_transport() == 'serial'
+
+    def test_trajectories_identical_across_selection(self):
+        from molgym_tpu.rl.rollout import (make_auto_host_rollout_fn,
+                                           make_host_loop_rollout_fn)
+
+        calc = NativeBatchCalculator(method=METHOD_LJ, epsilon=0.15)
+        env = build(make_host_reward(calc))
+        agent = make_mlp_internal_agent(num_zs=2, canvas_size=3,
+                                        network_width=16)
+        rng = jax.random.PRNGKey(0)
+        states = env.init_states(rng, 4)
+        params = agent.init(rng, states.observation(), rng, method=agent.act)
+
+        auto = make_auto_host_rollout_fn(env, agent, calc, num_steps_per_env=6)
+        serial = make_host_loop_rollout_fn(env, agent, calc,
+                                           num_steps_per_env=6)
+        for i in range(5):
+            key = jax.random.PRNGKey(100 + i)
+            _, traj_auto = auto(params, states, key)
+            _, traj_serial = serial(params, states, key)
+            np.testing.assert_array_equal(np.asarray(traj_auto.rewards),
+                                          np.asarray(traj_serial.rewards))
+            np.testing.assert_array_equal(np.asarray(traj_auto.actions),
+                                          np.asarray(traj_serial.actions))
+        assert auto.choice in ('pipelined', 'serial')

@@ -11,7 +11,8 @@ import pytest
 from molgym_tpu.tools.analysis import (parse_buffer_filename,
                                        parse_json_lines_file,
                                        parse_results_filename)
-from molgym_tpu.tools.model_io import ModelIO
+from molgym_tpu.tools.model_io import (ModelIO, is_legacy_covariant_tree,
+                                       migrate_legacy_covariant)
 from molgym_tpu.tools.qm9_parser import parse_dataset
 
 
@@ -51,6 +52,105 @@ class TestModelIO:
         handler = ModelIO(directory=str(tmp_path), tag='nope_run-0')
         with pytest.raises(RuntimeError):
             handler.load_latest()
+
+
+class TestLegacyCovariantMigration:
+    """Round-1 covariant checkpoints use the per-l CGLevel weight naming
+    (ag_mix_l{l}/w_r, cat_mix/mix_l{l}/w_r); the packed rewrite renamed and
+    reshaped them. ModelIO must auto-detect + migrate so --load_latest/eval
+    keep working across the format break (round-2 ADVICE item).
+
+    The test builds a real packed agent, down-converts its params to the
+    legacy layout with an independent inverse transform, writes a legacy
+    checkpoint, and asserts the production restore path reproduces the
+    packed tree bitwise."""
+
+    _PACKED = __import__('re').compile(r'w_([ri])_l(\d+)_s(\d+)')
+
+    @classmethod
+    def _to_legacy(cls, tree):
+        """Inverse of the model_io migration: packed -> round-1 layout."""
+        import re
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and any(cls._PACKED.fullmatch(kk)
+                                           for kk in v):
+                if k == 'ag_mix':
+                    for name, w in v.items():
+                        m = cls._PACKED.fullmatch(name)
+                        leg = out.setdefault(f'ag_mix_l{m.group(2)}', {})
+                        w = np.asarray(w)
+                        leg[f'w_{m.group(1)}'] = w.reshape(-1, w.shape[-1])
+                else:
+                    cat = out.setdefault('cat_mix', {})
+                    ls = sorted({int(cls._PACKED.fullmatch(n).group(2))
+                                 for n in v})
+                    for l in ls:
+                        mix = cat.setdefault(f'mix_l{l}', {})
+                        for part in 'ri':
+                            pieces = [
+                                np.asarray(v[f'w_{part}_l{l}_s{s}'])
+                                for s in range(3)
+                                if f'w_{part}_l{l}_s{s}' in v
+                            ]
+                            mix[f'w_{part}'] = np.concatenate(
+                                [p.reshape(-1, p.shape[-1]) for p in pieces],
+                                axis=0)
+            elif isinstance(v, dict):
+                out[k] = cls._to_legacy(v)
+            else:
+                out[k] = np.asarray(v)
+        return out
+
+    def _packed_params(self):
+        from molgym_tpu.agents.covariant import CovariantAC
+        from molgym_tpu.atoms import Atoms
+        from molgym_tpu.spaces import ObservationSpace
+        space = ObservationSpace(canvas_size=4, zs=[0, 1, 8])
+        agent = CovariantAC(zs=(0, 1, 8), canvas_size=4, network_width=16,
+                            maxl=2, num_cg_levels=2, num_channels_hidden=3,
+                            num_channels_per_element=2, num_gaussians=2,
+                            bag_scale=3, min_max_distance=(0.9, 1.8),
+                            beta=-10.0)
+        obs = space.build(Atoms(), ((1, 1), ))
+        obs = jax.tree.map(lambda x: jnp.asarray(x)[None], obs)
+        rng = jax.random.PRNGKey(0)
+        return agent.init(rng, obs, rng, method=agent.act)
+
+    def test_roundtrip_through_modelio(self, tmp_path):
+        import optax
+        packed = self._packed_params()
+        legacy = self._to_legacy(packed)
+        assert is_legacy_covariant_tree(legacy)
+        assert not is_legacy_covariant_tree(packed)
+
+        opt = optax.adam(1e-3)
+        legacy_state = {'params': legacy, 'opt_state': opt.init(legacy)}
+        handler = ModelIO(directory=str(tmp_path), tag='legacy_run-0')
+        handler.save(legacy_state['params'], legacy_state['opt_state'],
+                     num_steps=500)
+
+        template = {'params': packed, 'opt_state': opt.init(packed)}
+        state, steps = handler.load_latest(template=template)
+        assert steps == 500
+        flat_new = jax.tree_util.tree_leaves_with_path(state['params'])
+        flat_ref = dict(
+            (jax.tree_util.keystr(p), v)
+            for p, v in jax.tree_util.tree_leaves_with_path(packed))
+        assert len(flat_new) == len(flat_ref)
+        for path, leaf in flat_new:
+            ref = flat_ref[jax.tree_util.keystr(path)]
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref))
+        # optimizer state migrated with the same structure as the template
+        assert (jax.tree_util.tree_structure(state['opt_state'])
+                == jax.tree_util.tree_structure(template['opt_state']))
+
+    def test_migrate_rejects_mismatched_rows(self):
+        packed = {'cat_mix': {'w_r_l0_s0': np.zeros((1, 3, 3)),
+                              'w_r_l0_s1': np.zeros((2, 3, 3))}}
+        legacy = {'cat_mix': {'mix_l0': {'w_r': np.zeros((5, 3))}}}
+        with pytest.raises(ValueError):
+            migrate_legacy_covariant(legacy, packed)
 
 
 class TestAnalysis:
