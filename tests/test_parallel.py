@@ -145,3 +145,104 @@ class TestMultihost:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f'rank {i} failed:\n{out}'
             assert f'RANK{i}_OK' in out
+
+    def test_two_process_full_ppo_matches_single_process(self, tmp_path):
+        """Full-program multihost proof (round-2 VERDICT item 7): one
+        make_dp_ppo_iteration across 2 processes (2 CPU devices each, global
+        4-way dp mesh) must produce the same updated parameters as the same
+        iteration on a single-process 4-device mesh."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+
+        worker = textwrap.dedent('''
+            import sys
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            proc = int(sys.argv[1])
+            jax.distributed.initialize(
+                coordinator_address=f'localhost:{int(sys.argv[2])}',
+                num_processes=2, process_id=proc)
+            assert len(jax.devices()) == 4
+
+            from molgym_tpu.agents.internal import make_mlp_internal_agent
+            from molgym_tpu.envs.environment import MolecularEnv
+            from molgym_tpu.envs.reward import make_lennard_jones_reward
+            from molgym_tpu.formula import string_to_formula
+            from molgym_tpu.parallel.mesh import (make_dp_ppo_iteration,
+                                                  make_mesh)
+            from molgym_tpu.rl.ppo import PPOConfig
+            from molgym_tpu.spaces import ObservationSpace
+
+            space = ObservationSpace(canvas_size=3, zs=[0, 8])
+            formulas = np.stack([space.bag_from_formula(
+                string_to_formula('O2'))])
+            env = MolecularEnv(reward_fn=make_lennard_jones_reward(),
+                               observation_space=space, formulas=formulas)
+            agent = make_mlp_internal_agent(num_zs=2, canvas_size=3,
+                                            network_width=16)
+            rng = jax.random.PRNGKey(0)
+            params = agent.init(
+                rng, env.init_states(rng, 4).observation(), rng,
+                method=agent.act)
+            config = PPOConfig(mini_batch_size=4, max_num_train_iters=2,
+                               gamma=1.0)
+            init_fn, iteration = make_dp_ppo_iteration(
+                env, agent, config, num_envs=4, num_steps_per_iter=8,
+                mesh=make_mesh(4))
+            rng = jax.random.PRNGKey(1)
+            states, opt_state = init_fn(rng, params)
+            new_params, opt_state, states, traj, info = iteration(
+                params, opt_state, states, rng)
+            jax.block_until_ready(new_params)
+            leaves = [np.asarray(x.addressable_data(0))
+                      for x in jax.tree.leaves(new_params)]
+            np.savez(sys.argv[3], *leaves,
+                     loss=np.asarray(info['total_loss'].addressable_data(0)))
+            print(f'RANK{proc}_OK')
+        ''')
+        env_vars = dict(os.environ)
+        env_vars['JAX_PLATFORMS'] = 'cpu'
+        env_vars['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env_vars.pop('JAX_NUM_PROCESSES', None)
+        env_vars.pop('PALLAS_AXON_POOL_IPS', None)
+        outs_npz = [str(tmp_path / f'rank{i}.npz') for i in range(2)]
+        procs = [subprocess.Popen(
+            [sys.executable, '-c', worker, str(i), str(port), outs_npz[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env_vars,
+            cwd=str(tmp_path), text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'rank {i} failed:\n{out}'
+            assert f'RANK{i}_OK' in out
+
+        # single-process 4-device reference (same seeds, same program)
+        env, agent, params = build(4)
+        config = PPOConfig(mini_batch_size=4, max_num_train_iters=2, gamma=1.0)
+        init_fn, iteration = make_dp_ppo_iteration(
+            env, agent, config, num_envs=4, num_steps_per_iter=8,
+            mesh=make_mesh(4))
+        rng = jax.random.PRNGKey(1)
+        states, opt_state = init_fn(rng, params)
+        ref_params, _, _, _, ref_info = iteration(params, opt_state, states,
+                                                  rng)
+        ref_leaves = [np.asarray(x) for x in jax.tree.leaves(ref_params)]
+
+        for path in outs_npz:
+            data = np.load(path)
+            got = [data[f'arr_{i}'] for i in range(len(ref_leaves))]
+            for a, b in zip(got, ref_leaves):
+                np.testing.assert_allclose(a, b, atol=1e-4)
+            assert float(data['loss']) == pytest.approx(
+                float(np.asarray(ref_info['total_loss'])), abs=1e-4)
