@@ -45,7 +45,7 @@ struct ElementBasis {
 
 // returns basis or nullptr if unsupported
 struct BasisTable {
-  ElementBasis H, C, N, O, F, S;
+  ElementBasis H, C, N, O, F, S, Cl;
 };
 
 // thread-safe: C++11 magic-static initialization (the first EHT evaluation
@@ -54,6 +54,7 @@ const BasisTable& basis_table() {
   static const BasisTable table = [] {
     BasisTable t;
     ElementBasis &H = t.H, &C = t.C, &N = t.N, &O = t.O, &F = t.F, &S = t.S;
+    ElementBasis& Cl = t.Cl;
     H.n_shells = 1;
     H.valence_electrons = 1;
     H.repulsion_radius = 0.31;
@@ -84,6 +85,16 @@ const BasisTable& basis_table() {
                    {-0.21962037, 0.22559543, 0.90039843}, -20.0};
     S.shells[1] = {1, {2.0291942, 0.5661400, 0.2215833},
                    {0.01058760, 0.59516701, 0.46200101}, -11.0};
+    // Cl 3sp: same STO-3G third-row contraction scaled to zeta = 2.356
+    // (S row's base exponents x zeta^2); VSIP -30.0 / -15.0 eV (standard
+    // EHT chlorine parameters)
+    Cl.n_shells = 2;
+    Cl.valence_electrons = 7;
+    Cl.repulsion_radius = 1.02;
+    Cl.shells[0] = {0, {2.5014600, 0.6978800, 0.2731460},
+                    {-0.21962037, 0.22559543, 0.90039843}, -30.0};
+    Cl.shells[1] = {1, {2.5014600, 0.6978800, 0.2731460},
+                    {0.01058760, 0.59516701, 0.46200101}, -15.0};
     return t;
   }();
   return table;
@@ -98,6 +109,7 @@ const ElementBasis* element_basis(int z) {
     case 8: return &t.O;
     case 9: return &t.F;
     case 16: return &t.S;
+    case 17: return &t.Cl;
     default: return nullptr;
   }
 }

@@ -26,6 +26,7 @@
 // All state is per-call (thread-safe under the molgym_host.cpp pool).
 
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <unordered_map>
@@ -80,6 +81,12 @@ static const Elem kElems[] = {
     {16, 6.0, 3, 2.192844, 1.841078, -47.531724, -39.910426, -13.827839,
      -7.685341, 9.201926, 5.004267, 8.182069, 7.304130, 1.425827, true,
      true, 1.2, -22.0, -5.0},
+    // Cl (sp): MNDO element block (no golden data, no reliable PM6 recall)
+    // + in-tree anchor-calibrated diatomic constants — see nddo_ref.py
+    // PM6_PARAMS[17] and experiments/pm6_anchor_fit/.
+    {17, 7.0, 3, 3.784645, 2.036263, -100.227166, -77.378667, -14.262320,
+     -14.262320, 15.03, 13.16, 11.30, 9.97, 2.42, true,
+     false, 0.0, 0.0, 0.0},
 };
 
 static int n_orbs(const Elem& e) { return e.has_d ? 9 : (e.has_p ? 4 : 1); }
@@ -95,19 +102,24 @@ struct PairCC {
   double alpha, x;
 };
 
-// (alpha, x): H-H and O-H Sparrow-calibrated; rest = recalled published
-// table with the 2x convention the calibration exposed (nddo_ref.py).
+// (alpha, x): H-H and O-H Sparrow-calibrated; anchor-fit pairs calibrated
+// in-tree against experimental atomization energies + bond lengths
+// (experiments/pm6_anchor_fit/, must stay bit-identical to
+// nddo_ref.py PM6_PAIR_PARAMS); rest = recalled published table with the
+// 2x convention the calibration exposed (nddo_ref.py).
 static const PairCC kPairs[] = {
     {1, 1, 3.523116597, 4.535283120}, {1, 6, 1.027806, 0.433012},
     {1, 7, 0.969406, 0.351012},       {1, 8, 1.251075737, 0.384906880},
-    {1, 9, 3.136740, 1.631604},       {1, 16, 1.954225, 1.000000},
-    {6, 6, 2.613713, 1.627020},       {6, 7, 2.686108, 1.719898},
-    {6, 8, 2.889607, 1.980422},       {6, 9, 2.969881, 1.465936},
-    {6, 16, 2.210533, 1.333400},      {7, 7, 2.574502, 1.350626},
+    {1, 9, 3.136740, 1.631604},       {1, 16, 2.000000, 1.456853},
+    {1, 17, 2.000015, 1.012454},      {6, 6, 2.613713, 1.627020},
+    {6, 7, 2.686108, 1.719898},       {6, 8, 2.889607, 1.980422},
+    {6, 9, 2.969881, 1.465936},       {6, 16, 2.210533, 1.333400},
+    {6, 17, 2.000000, 0.833585},      {7, 7, 2.574502, 1.350626},
     {7, 8, 2.784292, 1.529512},       {7, 9, 2.856543, 1.268340},
-    {8, 8, 2.623998, 1.070224},       {8, 9, 3.015444, 1.348502},
-    {8, 16, 2.383571, 1.348318},      {9, 9, 3.186168, 0.873786},
-    {9, 16, 2.187186, 0.750502},      {16, 16, 1.792625, 0.959002},
+    {8, 8, 2.394117, 1.324384},       {8, 9, 3.015444, 1.348502},
+    {8, 16, 2.000137, 1.453441},      {9, 9, 3.439433, 1.885009},
+    {9, 16, 2.116469, 0.630170},      {16, 16, 1.792625, 0.959002},
+    {17, 17, 2.068055, 0.901000},
 };
 
 static void pair_cc(int za, int zb, double* alpha, double* x, bool* gauss_r2) {
@@ -1748,10 +1760,23 @@ static double nddo_energy(const int* zs, const double* pos, int n, int charge,
   Molecule mol;
   if (!build(mol, zs, pos, n, charge, multiplicity)) return NAN;
 
+  // SCF warm starts are OFF by default (opt-in via MOLGYM_SCF_WARMSTART=1):
+  // UHF has multiple stationary points, and seeding from the parent
+  // fragment's (possibly spin-polarized) density can converge to a
+  // DIFFERENT solution than a cold start — observed concretely on Cl2,
+  // where a warm start from the Cl-atom doublet density lands ~4 kcal/mol
+  // above the cold-start solution, making the energy depend on evaluation
+  // history. Round-2 measurements also showed no rollout-throughput gain
+  // from the warm start (the rollout is dispatch-bound once the energy
+  // cache is in place), so correctness wins by default.
+  static const bool kWarmStart = [] {
+    const char* v = std::getenv("MOLGYM_SCF_WARMSTART");
+    return v != nullptr && v[0] == '1';
+  }();
   DensityCache& dc = density_cache();
   std::vector<double> pa_guess, pb_guess;
   int guess_norb = 0;
-  if (n > 1) {
+  if (kWarmStart && n > 1) {
     // the parent geometry is the first n-1 atoms (canvas is append-only;
     // it was evaluated with the same charge/multiplicity arguments)
     const DensityCache::Key pkey = DensityCache::key(zs, pos, n - 1, charge,
@@ -1768,7 +1793,7 @@ static double nddo_energy(const int* zs, const double* pos, int n, int charge,
   const double e = scf(mol, converged, &pa_out, &pb_out,
                        guess_norb ? pa_guess.data() : nullptr,
                        guess_norb ? pb_guess.data() : nullptr, guess_norb);
-  if (*converged) {
+  if (kWarmStart && *converged) {
     const DensityCache::Key k = DensityCache::key(zs, pos, n, charge,
                                                   multiplicity);
     std::lock_guard<std::mutex> lock(dc.mu);

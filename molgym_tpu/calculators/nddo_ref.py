@@ -135,6 +135,21 @@ PM6_PARAMS: Dict[int, ElementParams] = {
                       gss=9.201926, gsp=5.004267, gpp=8.182069,
                       gp2=7.304130, hsp=1.425827,
                       has_d=True, zd=1.2, udd=-22.0, beta_d=-5.0),
+    # Cl (sp): no golden data and no reliable PM6 recall, so the element
+    # block is the well-documented MNDO chlorine set (Dewar & Thiel 1977 /
+    # Dewar, Healy & Stewart 1983 — exponents, U terms, betas; one-center
+    # Oleari-derived g/h integrals), with the DIATOMIC (alpha, x) core-core
+    # constants calibrated in-tree against experimental HCl / Cl2 / CH3Cl
+    # atomization energies + bond lengths (experiments/pm6_anchor_fit/).
+    # sp is sufficient at this level for the environments' Cl chemistry
+    # (halide substituent; no hypervalent Cl targets) — round-3 VERDICT
+    # item 5. The environment's solo-distance rule names Cl
+    # (reference molgym/environment.py:103-118).
+    17: ElementParams(z=17, zval=7.0, n=3, zs=3.784645, zp=2.036263,
+                      uss=-100.227166, upp=-77.378667,
+                      beta_s=-14.262320, beta_p=-14.262320,
+                      gss=15.03, gsp=13.16, gpp=11.30,
+                      gp2=9.97, hsp=2.42),
 }
 
 # PM6 diatomic core-core parameters: (alpha [1/A or 1/A^2], x), keyed by the
@@ -147,27 +162,39 @@ PM6_PARAMS: Dict[int, ElementParams] = {
 # paper (the O-H fit landed at 2.0012x the recalled published constant, the
 # H-H fit at 2.02x, so the published table evidently halves the implementation
 # constant). No golden data exists to verify the non-(H-H/O-H) pairs.
+#
+# Round 3: pairs with NO golden constraint that carry an experimental anchor
+# (O-O, F-F, H-S, O-S, F-S, H-Cl, C-Cl, Cl-Cl) are calibrated in-tree against
+# experimental atomization energies + bond lengths (O2 triplet, F2, H2S, SO2,
+# SF6+SF4 jointly, HCl, CH3Cl, Cl2 — experiments/pm6_anchor_fit/, anchor
+# table in its README). alpha is bounded >= 2.0 so the fitted correction
+# stays local to the bond and cannot leak into 2.5-3 A nonbonded pairs
+# (water-water O...O in the solvation environments). Golden-pinned pairs
+# (H-H, O-H) and golden-coupled element blocks are untouched.
 PM6_PAIR_PARAMS: Dict[Tuple[int, int], Tuple[float, float]] = {
     (1, 1): (3.523116597, 4.535283120),
     (1, 6): (1.027806, 0.433012),
     (1, 7): (0.969406, 0.351012),
     (1, 8): (1.251075737, 0.384906880),
     (1, 9): (3.136740, 1.631604),
-    (1, 16): (1.954225, 1.000000),
+    (1, 16): (2.000000, 1.456853),   # anchor-fit: H2S
+    (1, 17): (2.000015, 1.012454),   # anchor-fit: HCl
     (6, 6): (2.613713, 1.627020),
     (6, 7): (2.686108, 1.719898),
     (6, 8): (2.889607, 1.980422),
     (6, 9): (2.969881, 1.465936),
     (6, 16): (2.210533, 1.333400),
+    (6, 17): (2.000000, 0.833585),   # anchor-fit: CH3Cl
     (7, 7): (2.574502, 1.350626),
     (7, 8): (2.784292, 1.529512),
     (7, 9): (2.856543, 1.268340),
-    (8, 8): (2.623998, 1.070224),
+    (8, 8): (2.394117, 1.324384),    # anchor-fit: O2 (triplet)
     (8, 9): (3.015444, 1.348502),
-    (8, 16): (2.383571, 1.348318),
-    (9, 9): (3.186168, 0.873786),
-    (9, 16): (2.187186, 0.750502),
+    (8, 16): (2.000137, 1.453441),   # anchor-fit: SO2
+    (9, 9): (3.439433, 1.885009),    # anchor-fit: F2
+    (9, 16): (2.116469, 0.630170),   # anchor-fit: SF6 + SF4 jointly
     (16, 16): (1.792625, 0.959002),
+    (17, 17): (2.068055, 0.901000),  # anchor-fit: Cl2
 }
 
 GAUSS_R2_PAIRS = {(1, 7), (1, 8)}  # N-H, O-H use the R^2 gaussian form
@@ -1014,7 +1041,9 @@ class NDDO:
                    gamma_ss: float) -> float:
         r_ang = r_bohr * ANGSTROM_PER_BOHR
         key = (min(pa.z, pb.z), max(pa.z, pb.z))
-        alpha, x = PM6_PAIR_PARAMS.get(key, (2.5, 0.5))
+        # fallback for unparameterized pairs must match csrc/nddo.cpp
+        # pair_cc exactly (documented approximation)
+        alpha, x = PM6_PAIR_PARAMS.get(key, (2.5, 1.0))
         if key in GAUSS_R2_PAIRS:
             f = 1.0 + x * math.exp(-alpha * r_ang * r_ang)
         else:

@@ -421,3 +421,188 @@ class TestDShellMachinery:
         e_f = nddo_ref.energy([9], [[0, 0, 0]])
         kcal = (e - e_s - 6 * e_f) * 627.509474
         assert -700.0 < kcal < -250.0
+
+
+def _cpp_energy(zs, pos):
+    symbols = {1: 'H', 6: 'C', 7: 'N', 8: 'O', 9: 'F', 16: 'S', 17: 'Cl'}
+    calc = pm6_calc([symbols[z] for z in zs], np.asarray(pos, np.float64))
+    return calc.calculate_energy()
+
+
+def _opt_bond(f, lo, hi, n=41):
+    rs = np.linspace(lo, hi, n)
+    es = [f(r) for r in rs]
+    i = int(np.nanargmin(es))
+    return rs[i], es[i]
+
+
+class TestThermochemistryAnchors:
+    """Experimental-anchor tests for the calibrated constants
+    (experiments/pm6_anchor_fit/; round-3 VERDICT items 4/5). Targets are
+    experimental atomization energies (sum dHf(atoms) - dHf(molecule),
+    298 K) and bond lengths; tolerances state the achieved accuracy so a
+    future parameter change that regresses the thermochemistry fails here.
+    All energies via the C++ backend (oracle parity is tested separately)."""
+
+    KCAL = 627.509474
+
+    def _atomization(self, zs, pos):
+        e = _cpp_energy(zs, pos)
+        atoms = sum(_cpp_energy([z], [[0, 0, 0]]) for z in zs)
+        return (e - atoms) * self.KCAL
+
+    @pytest.mark.parametrize('name,zs,build,lo,hi,target_e,tol_e,target_r,tol_r', [
+        # O2 run as the (sum Z)%2+1 singlet here (the environment's rule);
+        # the triplet anchor fit gives -186 vs exp -120 — the O sp block
+        # overbinds O=O and the alpha>=2 locality bound caps the fix
+        ('F2', [9, 9], None, 1.2, 1.7, -37.9, 6.0, 1.412, 0.02),
+        ('HCl', [17, 1], None, 1.0, 1.6, -103.2, 12.0, 1.275, 0.03),
+        ('Cl2', [17, 17], None, 1.7, 2.3, -58.0, 6.0, 1.988, 0.02),
+    ])
+    def test_diatomic(self, name, zs, build, lo, hi, target_e, tol_e,
+                      target_r, tol_r):
+        def f(r):
+            return self._atomization(zs, [[0, 0, 0], [r, 0, 0]])
+        r, e = _opt_bond(f, lo, hi)
+        assert abs(e - target_e) < tol_e, (name, e)
+        assert abs(r - target_r) < tol_r, (name, r)
+
+    def test_o2_triplet(self):
+        symbols = ['O', 'O']
+
+        def f(r):
+            calc = NativeCalc(method='PM6')
+            calc.set_elements(symbols)
+            calc.set_positions(np.array([[0, 0, 0], [r, 0, 0]]))
+            calc.set_settings({'molecular_charge': 0, 'spin_multiplicity': 3})
+            e = calc.calculate_energy()
+            return (e - 2 * _cpp_energy([8], [[0, 0, 0]])) * self.KCAL
+        r, e = _opt_bond(f, 1.1, 1.7)
+        # exp -120.2 / 1.208 A; the O sp block (golden-pinned via H2O)
+        # overbinds O=O — the anchor-fit O-O pair cuts -360 -> -186 with the
+        # locality bound alpha >= 2 (experiments/pm6_anchor_fit/README.md)
+        assert abs(e - (-185.6)) < 25.0, e
+        assert abs(r - 1.418) < 0.08, r
+
+    def test_h2s(self):
+        import math
+        a = math.radians(92.1)
+
+        def f(r):
+            return self._atomization(
+                [16, 1, 1], [[0, 0, 0], [r, 0, 0],
+                             [r * math.cos(a), r * math.sin(a), 0]])
+        r, e = _opt_bond(f, 1.15, 1.6)
+        assert abs(e - (-173.2)) < 15.0, e  # exp -173.2
+        assert abs(r - 1.336) < 0.06, r
+
+    def test_so2(self):
+        import math
+        a = math.radians(119.5)
+
+        def f(r):
+            return self._atomization(
+                [16, 8, 8], [[0, 0, 0], [r, 0, 0],
+                             [r * math.cos(a), r * math.sin(a), 0]])
+        r, e = _opt_bond(f, 1.3, 1.9)
+        # exp -256.4 / 1.432 A. The residual (-292, long bond) inherits the
+        # O sp overbinding (see test_o2_triplet) — locked here so it cannot
+        # silently regress toward the pre-fit -683
+        assert abs(e - (-256.4)) < 45.0, e
+        assert abs(r - 1.432) < 0.30, r
+
+    def test_sf6(self):
+        def f(d):
+            pos = [[0, 0, 0], [d, 0, 0], [-d, 0, 0], [0, d, 0], [0, -d, 0],
+                   [0, 0, d], [0, 0, -d]]
+            return self._atomization([16] + [9] * 6, pos)
+        r, e = _opt_bond(f, 1.45, 1.8)
+        assert abs(e - (-471.4)) < 25.0, e  # exp -471.4
+        assert abs(r - 1.561) < 0.03, r
+
+    def test_sf4(self):
+        import math
+        aa = math.radians(173.1 / 2)
+        ee = math.radians(101.6 / 2)
+
+        def sf4(rax, req):
+            pos = [[0, 0, 0],
+                   [rax * math.sin(aa), 0, -rax * math.cos(aa)],
+                   [-rax * math.sin(aa), 0, -rax * math.cos(aa)],
+                   [0, req * math.sin(ee), req * math.cos(ee)],
+                   [0, -req * math.sin(ee), req * math.cos(ee)]]
+            return self._atomization([16, 9, 9, 9, 9], pos)
+        rax, req = 1.65, 1.58
+        for _ in range(2):
+            rax, _ = _opt_bond(lambda a: sf4(a, req), rax - 0.15, rax + 0.15,
+                               n=21)
+            req, e = _opt_bond(lambda q: sf4(rax, q), req - 0.15, req + 0.15,
+                               n=21)
+        assert abs(e - (-324.4)) < 20.0, e  # exp -324.4
+        assert 1.5 < rax < 1.75 and 1.45 < req < 1.7
+
+    def test_ch3cl(self):
+        import math
+        hc = math.radians(180.0 - 108.4)
+
+        def f(rccl):
+            pos = [[0, 0, 0], [0, 0, rccl]]
+            zs = [6, 17]
+            for k in range(3):
+                phi = 2 * math.pi * k / 3
+                pos.append([1.09 * math.sin(hc) * math.cos(phi),
+                            1.09 * math.sin(hc) * math.sin(phi),
+                            -1.09 * math.cos(hc)])
+                zs.append(1)
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 1.6, 2.0)
+        assert abs(e - (-375.8)) < 12.0, e  # exp -375.8
+        assert abs(r - 1.785) < 0.03, r
+
+
+class TestChlorine:
+    """Cl (sp) support in the native PM6 backend (round-3 VERDICT item 5):
+    element block + anchor-calibrated pairs, oracle <-> C++ parity."""
+
+    def test_supported(self):
+        from molgym_tpu.calculators.native import load_library
+        assert load_library().mg_nddo_supported(17) == 1
+
+    def test_hcl_parity_and_binding(self):
+        pos = [[0, 0, 0], [1.29, 0, 0]]
+        e_cpp = _cpp_energy([17, 1], pos)
+        e_py = nddo_ref.energy([17, 1], pos)
+        assert e_cpp == pytest.approx(e_py, abs=2e-9)
+        assert e_cpp < _cpp_energy([17], [[0, 0, 0]]) + _cpp_energy(
+            [1], [[0, 0, 0]])
+
+    def test_ch3cl_parity(self):
+        pos = [[0, 0, 0], [0, 0, 1.79], [1.03, 0, -0.36],
+               [-0.51, 0.89, -0.36], [-0.51, -0.89, -0.36]]
+        zs = [6, 17, 1, 1, 1]
+        assert _cpp_energy(zs, pos) == pytest.approx(
+            nddo_ref.energy(zs, pos), abs=2e-9)
+
+    def test_cl_atom_doublet(self):
+        m = nddo_ref.NDDO([17], [[0, 0, 0]])
+        m.scf()
+        # ground state 3s2 3p5: one unpaired p electron
+        assert m.n_alpha - m.n_beta == 1
+
+    def test_unparameterized_pair_fallback_parity(self):
+        # N-S carries no pair entry in either backend; both must use the
+        # same documented (alpha=2.5, x=1.0) fallback — a mismatched x
+        # (the pre-round-3 oracle used 0.5) shows up at the 0.1 Ha scale.
+        # Tolerance 1e-6: the NS radical's UHF converges along slightly
+        # different DIIS paths in the two implementations.
+        pos = [[0, 0, 0], [1.6, 0, 0]]
+        assert _cpp_energy([7, 16], pos) == pytest.approx(
+            nddo_ref.energy([7, 16], pos), abs=1e-6)
+
+    def test_cl_reward_pipeline(self):
+        # the env reward path end-to-end with Cl atoms (PM6 backend)
+        reward = InteractionReward(backend='pm6')
+        atoms = Atoms(['C'], [(0.0, 0.0, 0.0)])
+        new_atom = Atom('Cl', (1.79, 0.0, 0.0))
+        r, info = reward.calculate(atoms, new_atom)
+        assert np.isfinite(r) and r > 0.0  # C-Cl binds
