@@ -122,12 +122,22 @@ class PackedCatMix(nn.Module):
 
     @nn.compact
     def __call__(self, reps) -> jnp.ndarray:
+        # One DEEP dot per (l, real/imag) instead of 4 einsums per
+        # (l, source): sources and the complex parts are concatenated on a
+        # single contraction axis c = 2 * sum_src tau_src * pairs_src before
+        # the dot. The per-(l, source) einsums had contraction tau (10) and
+        # tiny free dims (m_l <= 9, s <= 20), which XLA lowered to lane-padded
+        # multiply-reduce fusions with layout-conversion copies around them —
+        # 28% of the traced SF6 step was those copies. The parameter tree is
+        # unchanged (same names/shapes), so checkpoints are unaffected.
         parts = []
         for l in range(self.maxl + 1):
             width_m = 2 * l + 1
             total_c = sum(sl[l][1] * arr.shape[-3] for arr, sl in reps)
             scale = self.gain / np.sqrt(2.0 * max(total_c, 1))
-            out_r = out_i = None
+            xs = []
+            ws_r = []
+            ws_i = []
             for s, (arr, sl) in enumerate(reps):
                 off, pairs = sl[l]
                 if pairs == 0:
@@ -139,13 +149,23 @@ class PackedCatMix(nn.Module):
                                  (pairs, tau, self.tau_out)).astype(blk.dtype)
                 w_i = self.param(f'w_i_l{l}_s{s}', nn.initializers.normal(scale),
                                  (pairs, tau, self.tau_out)).astype(blk.dtype)
-                xr, xi = blk[..., 0], blk[..., 1]
-                r = (jnp.einsum('...tpm,pts->...sm', xr, w_r) -
-                     jnp.einsum('...tpm,pts->...sm', xi, w_i))
-                i = (jnp.einsum('...tpm,pts->...sm', xr, w_i) +
-                     jnp.einsum('...tpm,pts->...sm', xi, w_r))
-                out_r = r if out_r is None else out_r + r
-                out_i = i if out_i is None else out_i + i
+                # merge (tau, pairs) into one contraction axis
+                xs.append(blk.reshape(blk.shape[:-4]
+                                      + (tau * pairs, width_m, 2)))
+                w = jnp.swapaxes(w_r, 0, 1).reshape(tau * pairs, self.tau_out)
+                wi = jnp.swapaxes(w_i, 0, 1).reshape(tau * pairs, self.tau_out)
+                ws_r.append(w)
+                ws_i.append(wi)
+            x = jnp.concatenate(xs, axis=-3)           # [..., C, m, 2]
+            w_r = jnp.concatenate(ws_r, axis=0)        # [C, s]
+            w_i = jnp.concatenate(ws_i, axis=0)
+            # complex product via one stacked real contraction of depth 2C:
+            # out_r = xr Wr - xi Wi ; out_i = xr Wi + xi Wr
+            x2 = jnp.concatenate([x[..., 0], x[..., 1]], axis=-2)  # [..., 2C, m]
+            w2r = jnp.concatenate([w_r, -w_i], axis=0)  # [2C, s]
+            w2i = jnp.concatenate([w_i, w_r], axis=0)
+            out_r = jnp.einsum('...cm,cs->...sm', x2, w2r)
+            out_i = jnp.einsum('...cm,cs->...sm', x2, w2i)
             parts.append(jnp.stack([out_r, out_i], axis=-1))
         return jnp.concatenate(parts, axis=-2)
 
