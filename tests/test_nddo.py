@@ -606,3 +606,38 @@ class TestChlorine:
         new_atom = Atom('Cl', (1.79, 0.0, 0.0))
         r, info = reward.calculate(atoms, new_atom)
         assert np.isfinite(r) and r > 0.0  # C-Cl binds
+
+
+class TestDMultipoleRotationLeakBound:
+    """The discrete point-multipole configurations for d-involving pairs are
+    not exactly axially symmetric as tensors, so rotating a whole molecule
+    leaks ~1e-6 Ha into the energy (sp deviations cancel exactly; see the
+    TestInvariances notes). This bounds the leak on FULL SF6-episode-scale
+    molecules at < 1e-5 Ha — an order of magnitude under the 1e-3 Ha
+    reward-difference scale the RL policies train on, so the wart cannot
+    affect learning-curve comparisons (round-3 VERDICT stretch item)."""
+
+    def _rot(self, seed):
+        rng = np.random.default_rng(seed)
+        a = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(a) < 0:
+            a[:, 0] *= -1
+        return a
+
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_sf6_full_molecule(self, seed):
+        d = 1.58
+        pos = np.array([[0, 0, 0], [d, 0, 0], [-d, 0, 0], [0, d, 0],
+                        [0, -d, 0], [0, 0, d], [0, 0, -d]])
+        syms = ['S'] + ['F'] * 6
+        e0 = _cpp_energy([16] + [9] * 6, pos)
+        e1 = _cpp_energy([16] + [9] * 6, pos @ self._rot(seed).T)
+        assert abs(e0 - e1) < 1e-5
+
+    def test_low_symmetry_intermediate(self):
+        # a mid-episode-like SF5 fragment with no special symmetry
+        pos = np.array([[0, 0, 0], [1.6, 0.1, -0.2], [-1.5, 0.2, 0.3],
+                        [0.2, 1.7, 0], [0.1, -1.55, 0.25], [0, 0.2, 1.62]])
+        e0 = _cpp_energy([16] + [9] * 5, pos)
+        e1 = _cpp_energy([16] + [9] * 5, pos @ self._rot(7).T)
+        assert abs(e0 - e1) < 1e-5
