@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
                         'used by the run', type=str, required=True)
     parser.add_argument('--output', help='output XYZ file', type=str,
                         default='structures.xyz')
+    parser.add_argument('--name', help='only rollouts of this experiment '
+                        'name (directories holding several runs would '
+                        'otherwise mix canvases with different symbol sets)',
+                        type=str, default=None)
     return parser
 
 
@@ -51,6 +55,10 @@ def main() -> None:
 
     paths = sorted(collect_buffer_paths(args.dir, mode=args.mode),
                    key=lambda p: parse_buffer_filename(os.path.basename(p))['steps'])
+    if args.name is not None:
+        paths = [p for p in paths
+                 if parse_buffer_filename(os.path.basename(p))['name']
+                 == args.name]
     structures = []
     for path in paths:
         with open(path, 'rb') as f:
