@@ -119,9 +119,10 @@ class PackedCatMix(nn.Module):
     maxl: int
     tau_out: int
     gain: float = 1.0
+    pair_output: bool = False  # True: return (out_r, out_i) instead of stacked
 
     @nn.compact
-    def __call__(self, reps) -> jnp.ndarray:
+    def __call__(self, reps):
         # One DEEP dot per (l, real/imag) instead of 4 einsums per
         # (l, source): sources and the complex parts are concatenated on a
         # single contraction axis c = 2 * sum_src tau_src * pairs_src before
@@ -130,44 +131,59 @@ class PackedCatMix(nn.Module):
         # multiply-reduce fusions with layout-conversion copies around them —
         # 28% of the traced SF6 step was those copies. The parameter tree is
         # unchanged (same names/shapes), so checkpoints are unaffected.
-        parts = []
+        #
+        # Sources are (arr, slices) with a stacked trailing complex axis, or
+        # (arr_r, arr_i, slices) with the complex parts as separate arrays —
+        # the hot path uses the latter (no T(2,128) interleave copies).
+        norm = []
+        for entry in reps:
+            if len(entry) == 2:
+                arr, sl = entry
+                norm.append((arr[..., 0], arr[..., 1], sl))
+            else:
+                norm.append(entry)
+        parts_r = []
+        parts_i = []
         for l in range(self.maxl + 1):
             width_m = 2 * l + 1
-            total_c = sum(sl[l][1] * arr.shape[-3] for arr, sl in reps)
+            total_c = sum(sl[l][1] * xr.shape[-2] for xr, _xi, sl in norm)
             scale = self.gain / np.sqrt(2.0 * max(total_c, 1))
             xs = []
             ws_r = []
             ws_i = []
-            for s, (arr, sl) in enumerate(reps):
+            for s, (xr_full, xi_full, sl) in enumerate(norm):
                 off, pairs = sl[l]
                 if pairs == 0:
                     continue
-                tau = arr.shape[-3]
-                blk = arr[..., off:off + pairs * width_m, :]
-                blk = blk.reshape(blk.shape[:-2] + (pairs, width_m, 2))
+                tau = xr_full.shape[-2]
+                blk_r = xr_full[..., off:off + pairs * width_m]
+                blk_i = xi_full[..., off:off + pairs * width_m]
+                shape = blk_r.shape[:-2] + (tau * pairs, width_m)
                 w_r = self.param(f'w_r_l{l}_s{s}', nn.initializers.normal(scale),
-                                 (pairs, tau, self.tau_out)).astype(blk.dtype)
+                                 (pairs, tau, self.tau_out)).astype(blk_r.dtype)
                 w_i = self.param(f'w_i_l{l}_s{s}', nn.initializers.normal(scale),
-                                 (pairs, tau, self.tau_out)).astype(blk.dtype)
+                                 (pairs, tau, self.tau_out)).astype(blk_r.dtype)
                 # merge (tau, pairs) into one contraction axis
-                xs.append(blk.reshape(blk.shape[:-4]
-                                      + (tau * pairs, width_m, 2)))
+                xs.append(blk_r.reshape(blk_r.shape[:-1] + (pairs, width_m))
+                          .reshape(shape))
+                xs.append(blk_i.reshape(blk_i.shape[:-1] + (pairs, width_m))
+                          .reshape(shape))
                 w = jnp.swapaxes(w_r, 0, 1).reshape(tau * pairs, self.tau_out)
                 wi = jnp.swapaxes(w_i, 0, 1).reshape(tau * pairs, self.tau_out)
-                ws_r.append(w)
-                ws_i.append(wi)
-            x = jnp.concatenate(xs, axis=-3)           # [..., C, m, 2]
-            w_r = jnp.concatenate(ws_r, axis=0)        # [C, s]
-            w_i = jnp.concatenate(ws_i, axis=0)
+                ws_r.extend([w, -wi])   # real-part weights for (xr, xi)
+                ws_i.extend([wi, w])    # imag-part weights for (xr, xi)
+            x2 = jnp.concatenate(xs, axis=-2)           # [..., 2C, m]
+            w2r = jnp.concatenate(ws_r, axis=0)         # [2C, s]
+            w2i = jnp.concatenate(ws_i, axis=0)
             # complex product via one stacked real contraction of depth 2C:
             # out_r = xr Wr - xi Wi ; out_i = xr Wi + xi Wr
-            x2 = jnp.concatenate([x[..., 0], x[..., 1]], axis=-2)  # [..., 2C, m]
-            w2r = jnp.concatenate([w_r, -w_i], axis=0)  # [2C, s]
-            w2i = jnp.concatenate([w_i, w_r], axis=0)
-            out_r = jnp.einsum('...cm,cs->...sm', x2, w2r)
-            out_i = jnp.einsum('...cm,cs->...sm', x2, w2i)
-            parts.append(jnp.stack([out_r, out_i], axis=-1))
-        return jnp.concatenate(parts, axis=-2)
+            parts_r.append(jnp.einsum('...cm,cs->...sm', x2, w2r))
+            parts_i.append(jnp.einsum('...cm,cs->...sm', x2, w2i))
+        out_r = jnp.concatenate(parts_r, axis=-1)
+        out_i = jnp.concatenate(parts_i, axis=-1)
+        if self.pair_output:
+            return out_r, out_i
+        return jnp.stack([out_r, out_i], axis=-1)
 
 
 class RadialFiltersStacked(nn.Module):
@@ -215,20 +231,24 @@ class CGLevelPacked(nn.Module):
     gain: float = 1.0
 
     @nn.compact
-    def __call__(self, atom_packed: jnp.ndarray, sph_packed: jnp.ndarray,
-                 rad_feats: jnp.ndarray, atom_mask: jnp.ndarray) -> jnp.ndarray:
-        # atom_packed [B, N, tau, M_atom, 2]; sph_packed [B, N, N, M, 2];
-        # rad_feats [B, N, N, tau, maxl+1] (gated).
+    def __call__(self, atom_r: jnp.ndarray, atom_i: jnp.ndarray,
+                 sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
+                 atom_mask: jnp.ndarray):
+        # atom_r/atom_i [B, N, tau, M_atom] (complex parts as separate
+        # arrays — no trailing-2 interleave copies in the hot path);
+        # sph_packed [B, N, N, M, 2]; rad_feats [B, N, N, tau, maxl+1]
+        # (gated). Returns (out_r, out_i), each [B, N, tau_out, M].
         from molgym_tpu.ops import cg as cg_mod
+        from molgym_tpu.ops.cg import cg_product_packed_ri
 
         n_ells = self.maxl + 1
         backend = cg_mod.aggregate_backend()
         if backend.startswith('pallas'):
-            from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused
+            from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused_ri
             table3, ag_slices = cg_mod._fused_cg_table(
                 n_ells, self.atom_n_ells, self.maxl)
-            ag_k = cg_aggregate_edge_fused(
-                sph_packed, rad_feats, atom_packed, table3,
+            ag_kr, ag_ki = cg_aggregate_edge_fused_ri(
+                sph_packed, rad_feats, atom_r, atom_i, table3,
                 interpret=backend == 'pallas_interpret')
         else:
             reps = np.array([2 * l + 1 for l in range(n_ells)])
@@ -236,18 +256,23 @@ class CGLevelPacked(nn.Module):
                                total_repeat_length=int(reps.sum()))
             # edge rep, built in one op: [B, N, N, tau, M, 2]
             edge = rad_m[..., None] * sph_packed[..., None, :, :]
+            atom_packed = jnp.stack([atom_r, atom_i], axis=-1)
             ag_k, ag_slices = cg_aggregate_packed(edge, atom_packed, n_ells,
                                                   self.atom_n_ells, self.maxl)
-        ag = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=1.0,
-                          name='ag_mix')([(ag_k, ag_slices)])
-        sq_k, sq_slices = cg_product_packed(ag, ag, n_ells, n_ells, self.maxl)
+            ag_kr, ag_ki = ag_k[..., 0], ag_k[..., 1]
+        ag_r, ag_i = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out,
+                                  gain=1.0, pair_output=True,
+                                  name='ag_mix')([(ag_kr, ag_ki, ag_slices)])
+        (sq_r, sq_i), sq_slices = cg_product_packed_ri(
+            ag_r, ag_i, ag_r, ag_i, n_ells, n_ells, self.maxl)
         mm = m_slices(n_ells, self.maxl)
-        out = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
-                           name='cat_mix')([
-                               (ag, mm), (sq_k, sq_slices),
-                               (atom_packed, m_slices(self.atom_n_ells, self.maxl))])
-        mask = atom_mask[..., None, None, None].astype(out.dtype)
-        return out * mask
+        out_r, out_i = PackedCatMix(
+            maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,
+            pair_output=True, name='cat_mix')([
+                (ag_r, ag_i, mm), (sq_r, sq_i, sq_slices),
+                (atom_r, atom_i, m_slices(self.atom_n_ells, self.maxl))])
+        mask = atom_mask[..., None, None].astype(out_r.dtype)
+        return out_r * mask, out_i * mask
 
 
 class CGLevel(nn.Module):
@@ -336,10 +361,12 @@ class CormorantEncoder(nn.Module):
         tau0 = self.num_channels_hidden
         x0 = nn.Dense(tau0, name='input_linear',
                       dtype=_as_dtype(self.compute_dtype))(scalars)  # [B, N, tau0]
-        zeros = jnp.zeros_like(x0)
-        # l=0 rep: [B, N, tau0, 1, 2] (m axis singleton, imag part zero)
-        rep0 = jnp.stack([x0, zeros], axis=-1)[..., None, :]
-        atom_packed = rep0 * atom_mask[..., None, None, None]
+        # l=0 rep as separate complex parts: [B, N, tau0, 1] each (m axis
+        # singleton, imag part zero). The stacked trailing-complex layout is
+        # only materialized ONCE, at the encoder output — the per-level
+        # stack/slice interleave copies were a top cost in the traced step.
+        atom_r = (x0 * atom_mask[..., None].astype(x0.dtype))[..., None]
+        atom_i = jnp.zeros_like(atom_r)
         atom_n_ells = 1
 
         # per l: [B, N, N, 2l+1, 2]; computed in f32, packed once for all
@@ -352,17 +379,18 @@ class CormorantEncoder(nn.Module):
             [self.num_channels_out]
         for level, tau_out in enumerate(channels):
             rad = RadialFiltersStacked(
-                maxl=self.maxl, tau=atom_packed.shape[-3],
+                maxl=self.maxl, tau=atom_r.shape[-2],
                 hard_cut=self.hard_cut, soft_cut=self.soft_cut,
                 soft_width=self.soft_width, compute_dtype=self.compute_dtype,
                 name=f'radial_{level}')(norms, edge_mask)
-            atom_packed = CGLevelPacked(maxl=self.maxl, tau_out=tau_out,
-                                        atom_n_ells=atom_n_ells,
-                                        gain=self.level_gain,
-                                        name=f'cg_level_{level}')(
-                                            atom_packed, sph_packed, rad,
-                                            atom_mask)
+            atom_r, atom_i = CGLevelPacked(maxl=self.maxl, tau_out=tau_out,
+                                           atom_n_ells=atom_n_ells,
+                                           gain=self.level_gain,
+                                           name=f'cg_level_{level}')(
+                                               atom_r, atom_i, sph_packed,
+                                               rad, atom_mask)
             atom_n_ells = self.maxl + 1
+        atom_packed = jnp.stack([atom_r, atom_i], axis=-1)
         return unpack_so3(atom_packed.astype(jnp.float32), self.maxl + 1)
 
 

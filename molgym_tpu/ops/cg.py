@@ -268,6 +268,22 @@ def cg_product_packed(a: jnp.ndarray, b: jnp.ndarray, n_ells1: int,
     return out, slices
 
 
+def cg_product_packed_ri(a_r: jnp.ndarray, a_i: jnp.ndarray,
+                         b_r: jnp.ndarray, b_i: jnp.ndarray,
+                         n_ells1: int, n_ells2: int, maxl: int):
+    """cg_product_packed with complex parts as SEPARATE arrays (no trailing
+    complex axis => no T(2,128) interleave copies in the hot path).
+    Returns ((out_r, out_i), slices)."""
+    table_np, slices = _fused_cg_table(n_ells1, n_ells2, maxl)
+    table = jnp.asarray(table_np, dtype=a_r.dtype)
+    pattern = '...tm,...tn,mnk->...tk'
+    rr = jnp.einsum(pattern, a_r, b_r, table)
+    ii = jnp.einsum(pattern, a_i, b_i, table)
+    ri = jnp.einsum(pattern, a_r, b_i, table)
+    ir = jnp.einsum(pattern, a_i, b_r, table)
+    return (rr - ii, ri + ir), slices
+
+
 def cg_aggregate_packed(edge: jnp.ndarray, atom: jnp.ndarray, n_ells_edge: int,
                         n_ells_atom: int, maxl: int):
     """Neighborhood-aggregating CG product on packed reps:

@@ -283,21 +283,23 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     for j in range(n_j):
         radx = jnp.dot(rad[:, j * n_l:(j + 1) * n_l], gexp,
                        preferred_element_type=jnp.float32)
-        er = radx * sph_big_r[:, j * m1:(j + 1) * m1]
-        ei = radx * sph_big_i[:, j * m1:(j + 1) * m1]
-        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
-        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
-        big_qr = jnp.dot(q_big_r[:, j * m2:(j + 1) * m2], tilem,
-                         preferred_element_type=jnp.float32)
-        big_qi = jnp.dot(q_big_i[:, j * m2:(j + 1) * m2], tilem,
-                         preferred_element_type=jnp.float32)
+        # stacked (r, i) rows: 2 expansion matmuls per j instead of 4
+        e_ri = jnp.concatenate([radx * sph_big_r[:, j * m1:(j + 1) * m1],
+                                radx * sph_big_i[:, j * m1:(j + 1) * m1]],
+                               axis=0)
+        big_e = jnp.dot(e_ri, repm, preferred_element_type=jnp.float32)
+        big_er, big_ei = big_e[:rows], big_e[rows:]
+        q_ri = jnp.concatenate([q_big_r[:, j * m2:(j + 1) * m2],
+                                q_big_i[:, j * m2:(j + 1) * m2]], axis=0)
+        big_q = jnp.dot(q_ri, tilem, preferred_element_type=jnp.float32)
+        big_qr, big_qi = big_q[:rows], big_q[rows:]
         z_r = z_r + big_er * big_qr - big_ei * big_qi
         z_i = z_i + big_er * big_qi + big_ei * big_qr
-    c = c_ref[:]
-    out_r_ref[:] = jnp.dot(z_r, c, preferred_element_type=jnp.float32).astype(
-        out_r_ref.dtype)
-    out_i_ref[:] = jnp.dot(z_i, c, preferred_element_type=jnp.float32).astype(
-        out_i_ref.dtype)
+    # one stacked final contraction [2R, p] x [p, K]
+    out = jnp.dot(jnp.concatenate([z_r, z_i], axis=0), c_ref[:],
+                  preferred_element_type=jnp.float32)
+    out_r_ref[:] = out[:rows].astype(out_r_ref.dtype)
+    out_i_ref[:] = out[rows:].astype(out_i_ref.dtype)
 
 
 def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
@@ -323,42 +325,49 @@ def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     rad = rad_ref[:].astype(jnp.float32)
     g_r = g_r_ref[:].astype(jnp.float32)
     g_i = g_i_ref[:].astype(jnp.float32)
-    dz_r = jnp.dot(g_r, ct_ref[:], preferred_element_type=jnp.float32)
-    dz_i = jnp.dot(g_i, ct_ref[:], preferred_element_type=jnp.float32)
-    dq_slabs_r = []
-    dq_slabs_i = []
+    rows = rad.shape[0]
+    # one stacked-rows dot for both complex parts: [2R, K] x ct — the
+    # narrow-output table matmuls (25 of 128 lanes live) dominate the
+    # backward, so halving their COUNT by row-stacking r/i costs nothing
+    # in FLOPs and saves per-matmul overhead
+    dz_ri = jnp.dot(jnp.concatenate([g_r, g_i], axis=0), ct_ref[:],
+                    preferred_element_type=jnp.float32)
+    dz_r, dz_i = dz_ri[:rows], dz_ri[rows:]
+    dq_slabs_ri = []
     for j in range(n_j):
         radx = jnp.dot(rad[:, j * n_l:(j + 1) * n_l], gexp,
                        preferred_element_type=jnp.float32)
         sr = sph_big_r[:, j * m1:(j + 1) * m1]
         si = sph_big_i[:, j * m1:(j + 1) * m1]
-        er = radx * sr
-        ei = radx * si
-        big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
-        big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
-        big_qr = jnp.dot(q_big_r[:, j * m2:(j + 1) * m2], tilem,
-                         preferred_element_type=jnp.float32)
-        big_qi = jnp.dot(q_big_i[:, j * m2:(j + 1) * m2], tilem,
-                         preferred_element_type=jnp.float32)
+        # stacked expansion of (e_r, e_i) and (q_r, q_i): 2 wide matmuls
+        # instead of 4
+        e_ri = jnp.concatenate([radx * sr, radx * si], axis=0)
+        big_e = jnp.dot(e_ri, repm, preferred_element_type=jnp.float32)
+        big_er, big_ei = big_e[:rows], big_e[rows:]
+        q_ri = jnp.concatenate([q_big_r[:, j * m2:(j + 1) * m2],
+                                q_big_i[:, j * m2:(j + 1) * m2]], axis=0)
+        big_q = jnp.dot(q_ri, tilem, preferred_element_type=jnp.float32)
+        big_qr, big_qi = big_q[:rows], big_q[rows:]
         d_er = dz_r * big_qr + dz_i * big_qi
         d_ei = dz_i * big_qr - dz_r * big_qi
         d_qr = dz_r * big_er + dz_i * big_ei
         d_qi = dz_i * big_er - dz_r * big_ei
-        de_r = jnp.dot(d_er, repm_t, preferred_element_type=jnp.float32)
-        de_i = jnp.dot(d_ei, repm_t, preferred_element_type=jnp.float32)
-        dradx = de_r * sr + de_i * si
+        de_ri = jnp.dot(jnp.concatenate([d_er, d_ei], axis=0), repm_t,
+                        preferred_element_type=jnp.float32)
+        dradx = de_ri[:rows] * sr + de_ri[rows:] * si
         drad_ref[:, j * n_l:(j + 1) * n_l] = jnp.dot(
             dradx, gexpt_ref[:], preferred_element_type=jnp.float32).astype(
                 drad_ref.dtype)
-        dq_slabs_r.append(jnp.dot(d_qr, tilem_t,
-                                  preferred_element_type=jnp.float32))
-        dq_slabs_i.append(jnp.dot(d_qi, tilem_t,
-                                  preferred_element_type=jnp.float32))
-    # reduce the atom-rep gradient over i inside the kernel
-    dq_r_ref[0] = jnp.dot(sqt_ref[:], jnp.concatenate(dq_slabs_r, axis=-1),
+        dq_slabs_ri.append(jnp.dot(
+            jnp.concatenate([d_qr, d_qi], axis=0), tilem_t,
+            preferred_element_type=jnp.float32))
+    # reduce the atom-rep gradient over i inside the kernel; slabs carry
+    # stacked (r, i) rows, split once here
+    dq_all = jnp.concatenate(dq_slabs_ri, axis=-1)   # [2R, n_j*m2]
+    dq_r_ref[0] = jnp.dot(sqt_ref[:], dq_all[:rows],
                           preferred_element_type=jnp.float32).astype(
                               dq_r_ref.dtype)
-    dq_i_ref[0] = jnp.dot(sqt_ref[:], jnp.concatenate(dq_slabs_i, axis=-1),
+    dq_i_ref[0] = jnp.dot(sqt_ref[:], dq_all[rows:],
                           preferred_element_type=jnp.float32).astype(
                               dq_i_ref.dtype)
 
@@ -468,20 +477,26 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
 # public entry: packed SO3 shapes in, packed K-form out
 # ---------------------------------------------------------------------------
 
-def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
-                            atom_packed: jnp.ndarray, table3: np.ndarray,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Fused edge-build + CG aggregate.
+def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
+                               rad_feats: jnp.ndarray,
+                               atom_r: jnp.ndarray, atom_i: jnp.ndarray,
+                               table3: np.ndarray,
+                               interpret: bool = False):
+    """Fused edge-build + CG aggregate, complex parts as SEPARATE arrays.
 
-    sph_packed  [B, N, N, M1, 2]   conj relative SH (no gradient)
-    rad_feats   [B, N, N, tau, L]  gated radial features
-    atom_packed [B, N, tau, M2, 2] packed atom rep
-    table3      [M1, M2, K] combined CG block table (cg._fused_cg_table)
-    returns packed K-form [B, N, tau, K, 2].
+    sph_packed    [B, N, N, M1, 2]  conj relative SH (no gradient)
+    rad_feats     [B, N, N, tau, L] gated radial features
+    atom_r/atom_i [B, N, tau, M2]   packed atom rep, real / imag
+    table3        [M1, M2, K] combined CG block table (cg._fused_cg_table)
+    returns (out_r, out_i), each packed K-form [B, N, tau, K].
+
+    Keeping the complex axis out of the arrays avoids the trailing-2
+    T(2,128) interleave copies around the kernel custom-calls that
+    dominated the traced SF6 step (~0.5 GB of layout copies per fwd+bwd).
     """
     B, N, _, tau, n_l = rad_feats.shape
     m1 = sph_packed.shape[-2]
-    m2 = atom_packed.shape[-2]
+    m2 = atom_r.shape[-1]
     k = table3.shape[-1]
     rows = B * N * tau
 
@@ -496,14 +511,12 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
         rad2d = rad_t.reshape(rows, N * n_l)
         sph_r = sph[..., 0].reshape(B * N, N * m1)
         sph_i = sph[..., 1].reshape(B * N, N * m1)
-        q_t = jnp.swapaxes(atom_packed, 1, 2)           # [B, tau, N, m2, 2]
-        q_r = q_t[..., 0].reshape(B * tau, N * m2)
-        q_i = q_t[..., 1].reshape(B * tau, N * m2)
+        q_r = jnp.swapaxes(atom_r, 1, 2).reshape(B * tau, N * m2)
+        q_i = jnp.swapaxes(atom_i, 1, 2).reshape(B * tau, N * m2)
         fused = _make_grouped_fn(N, m1, m2, n_l, k, tau, gtile, table_bytes,
                                  interpret)
         out_r, out_i = fused(rad2d, sph_r, sph_i, q_r, q_i)
-        out = jnp.stack([out_r, out_i], axis=-1)
-        return out.reshape(B, N, tau, k, 2)
+        return (out_r.reshape(B, N, tau, k), out_i.reshape(B, N, tau, k))
 
     # fallback: edge rep built in XLA, row layout (b, i, t) x lanes (j, m).
     # The j<->tau transpose happens on the SMALL pre-expansion tensors so
@@ -517,12 +530,24 @@ def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
     e_i = (rad_m * sph[..., 1][:, :, None, :, :]).reshape(rows, N * m1)
 
     qshape = (B, N, tau, N, m2)
-    q_rt = jnp.swapaxes(atom_packed, 1, 2)[:, None]     # [B, 1, tau, N, m2, 2]
-    q_r = jnp.broadcast_to(q_rt[..., 0], qshape).reshape(rows, N * m2)
-    q_i = jnp.broadcast_to(q_rt[..., 1], qshape).reshape(rows, N * m2)
+    q_r = jnp.broadcast_to(jnp.swapaxes(atom_r, 1, 2)[:, None],
+                           qshape).reshape(rows, N * m2)
+    q_i = jnp.broadcast_to(jnp.swapaxes(atom_i, 1, 2)[:, None],
+                           qshape).reshape(rows, N * m2)
 
     fused = _make_row_fn(N, m1, m2, k, table_bytes, _pick_row_tile(rows),
                          interpret)
     out_r, out_i = fused(e_r, e_i, q_r, q_i)
-    out = jnp.stack([out_r, out_i], axis=-1)
-    return out.reshape(B, N, tau, k, 2)
+    return (out_r.reshape(B, N, tau, k), out_i.reshape(B, N, tau, k))
+
+
+def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,
+                            atom_packed: jnp.ndarray, table3: np.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Stacked-complex wrapper over cg_aggregate_edge_fused_ri:
+    atom_packed [B, N, tau, M2, 2] in, packed K-form [B, N, tau, K, 2] out.
+    Prefer the _ri form in hot paths (no trailing-2 interleave copies)."""
+    out_r, out_i = cg_aggregate_edge_fused_ri(
+        sph_packed, rad_feats, atom_packed[..., 0], atom_packed[..., 1],
+        table3, interpret=interpret)
+    return jnp.stack([out_r, out_i], axis=-1)

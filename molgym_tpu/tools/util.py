@@ -20,17 +20,29 @@ import numpy as np
 
 def enable_compile_cache() -> str:
     """Enable the persistent XLA compilation cache, keyed by backend + host
-    CPU fingerprint.
+    CPU fingerprint. Returns the cache directory ('' if disabled).
 
     XLA:CPU cache entries embed AOT machine code for the compile host's exact
     CPU features; loading them on a different host triggers
     cpu_aot_loader.cc feature-mismatch errors (at worst SIGILL). Keying the
     directory by a CPU-feature hash keeps same-host reruns warm while making
-    cross-machine reuse impossible. Returns the cache directory."""
+    cross-machine reuse impossible.
+
+    On the CPU backend the persistent cache is DISABLED entirely: XLA bakes
+    tuning preferences (+prefer-no-scatter/+prefer-no-gather) into the AOT
+    entry's target-feature list, and cpu_aot_loader's host check compares
+    them against /proc/cpuinfo — so every reload, even same-machine, logs a
+    scary feature-mismatch error (verified empirically: fresh dir, same
+    process re-run). CPU compiles are local and fast; clean stderr is worth
+    more than the warm start. Set MOLGYM_TPU_XLA_CACHE_CPU=1 to force it on.
+    """
     import hashlib
     import platform
 
     import jax
+    if (jax.default_backend() == 'cpu'
+            and os.environ.get('MOLGYM_TPU_XLA_CACHE_CPU', '0') != '1'):
+        return ''
     try:
         with open('/proc/cpuinfo') as fh:
             flags = next((ln for ln in fh if ln.startswith('flags')), '')

@@ -329,9 +329,11 @@ class TestPackedLevel:
         new_params = {'params': self.translate_params(
             old_params['params'], maxl, tau, tau_out, atom_n_ells)}
         rad_feats = jnp.stack(rad, axis=-1)
-        new_out_packed = new_level.apply(new_params, pack_so3(atom),
-                                         pack_so3(sph), rad_feats, atom_mask)
-        new_out = unpack_so3(new_out_packed, maxl + 1)
+        atom_packed = pack_so3(atom)
+        out_r, out_i = new_level.apply(new_params, atom_packed[..., 0],
+                                       atom_packed[..., 1], pack_so3(sph),
+                                       rad_feats, atom_mask)
+        new_out = unpack_so3(jnp.stack([out_r, out_i], axis=-1), maxl + 1)
 
         assert len(old_out) == len(new_out)
         for o, n in zip(old_out, new_out):
