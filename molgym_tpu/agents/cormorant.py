@@ -21,6 +21,8 @@ Design notes (TPU-first, not a translation):
 """
 from __future__ import annotations
 
+import functools
+import os
 from typing import List, Optional, Sequence
 
 import flax.linen as nn
@@ -105,6 +107,27 @@ class RadialFilters(nn.Module):
         return out
 
 
+@functools.lru_cache(maxsize=None)
+def _catmix_embed_tables(slices_key, k_total, maxl):
+    """Static 0/1 scatter tensors S_l [K, pairs_l, 2l+1] with
+    S_l[off_l + p*(2l+1) + m, p, m] = 1 — they embed the per-l mix weights
+    into the full packed-K axis (see PackedCatMix dense path)."""
+    slices = dict(slices_key)
+    tabs = []
+    for l in range(maxl + 1):
+        off, pairs = slices[l]
+        width = 2 * l + 1
+        if pairs == 0:
+            tabs.append(None)
+            continue
+        s = np.zeros((k_total, pairs, width), np.float32)
+        for p in range(pairs):
+            for m in range(width):
+                s[off + p * width + m, p, m] = 1.0
+        tabs.append(s)
+    return tuple(tabs)
+
+
 class PackedCatMix(nn.Module):
     """Equivariant per-l channel mixing over a list of packed reps — the
     packed-form equivalent of concat-along-tau + per-l ComplexLinear
@@ -115,6 +138,24 @@ class PackedCatMix(nn.Module):
     ((pair, tau) flattened), matching the unpacked loop semantics; the mix
     weight is therefore kept as [n_pairs, tau, tau_out] per (l, source).
     Output: M-form [..., tau_out, M, 2].
+
+    Two implementations (MOLGYM_CATMIX_IMPL env var, default 'dense'):
+
+    'dense' — per source, the per-l weights W_l [pairs, tau, s] are scattered
+    into one block-structured BigW [tau, K, s, M] on device (tiny einsums
+    against cached static 0/1 tensors, then an l-ordered concat on the m
+    axis), and the WHOLE packed rep is contracted in a single dot_general
+    over (tau, K). The per-l path sliced the packed K axis per l, which the
+    TPU trace showed as the dominant residual cost: bf16 slice copies
+    forward, split + pad-and-add reassembly copies in the VJP (~1.5 ms of
+    the 9.0 ms SF6 step). The dense dot wastes ~25x FLOPs on the zero blocks
+    (~2 GFLOP, ~10 us on the MXU) but eliminates every packed-axis slice;
+    its VJP is two clean dots.
+
+    'per_l' — one deep dot per (l, real/imag), sources and complex parts
+    concatenated on the contraction axis. Kept for A/B measurement.
+
+    The parameter tree is identical in both, so checkpoints are unaffected.
     """
     maxl: int
     tau_out: int
@@ -123,15 +164,6 @@ class PackedCatMix(nn.Module):
 
     @nn.compact
     def __call__(self, reps):
-        # One DEEP dot per (l, real/imag) instead of 4 einsums per
-        # (l, source): sources and the complex parts are concatenated on a
-        # single contraction axis c = 2 * sum_src tau_src * pairs_src before
-        # the dot. The per-(l, source) einsums had contraction tau (10) and
-        # tiny free dims (m_l <= 9, s <= 20), which XLA lowered to lane-padded
-        # multiply-reduce fusions with layout-conversion copies around them —
-        # 28% of the traced SF6 step was those copies. The parameter tree is
-        # unchanged (same names/shapes), so checkpoints are unaffected.
-        #
         # Sources are (arr, slices) with a stacked trailing complex axis, or
         # (arr_r, arr_i, slices) with the complex parts as separate arrays —
         # the hot path uses the latter (no T(2,128) interleave copies).
@@ -142,12 +174,84 @@ class PackedCatMix(nn.Module):
                 norm.append((arr[..., 0], arr[..., 1], sl))
             else:
                 norm.append(entry)
+        if os.environ.get('MOLGYM_CATMIX_IMPL', 'dense') == 'dense':
+            out_r, out_i = self._dense(norm)
+        else:
+            out_r, out_i = self._per_l(norm)
+        if self.pair_output:
+            return out_r, out_i
+        return jnp.stack([out_r, out_i], axis=-1)
+
+    def _scale(self, norm, l):
+        total_c = sum(sl[l][1] * xr.shape[-2] for xr, _xi, sl in norm)
+        return self.gain / np.sqrt(2.0 * max(total_c, 1))
+
+    def _dense(self, norm):
+        from jax import lax
+        # create params in the same (l-outer, source-inner) order as _per_l:
+        # flax folds the param rng by creation order, so this keeps a given
+        # seed's init identical across the two implementations
+        ws = {}
+        for l in range(self.maxl + 1):
+            scale = self._scale(norm, l)
+            for s, (xr, _xi, sl) in enumerate(norm):
+                _off, pairs = sl[l]
+                if pairs == 0:
+                    continue
+                tau = xr.shape[-2]
+                ws[(l, s, 'r')] = self.param(f'w_r_l{l}_s{s}',
+                                             nn.initializers.normal(scale),
+                                             (pairs, tau, self.tau_out))
+                ws[(l, s, 'i')] = self.param(f'w_i_l{l}_s{s}',
+                                             nn.initializers.normal(scale),
+                                             (pairs, tau, self.tau_out))
+        acc_r = None
+        acc_i = None
+        for s, (xr, xi, sl) in enumerate(norm):
+            tau = xr.shape[-2]
+            k_total = xr.shape[-1]
+            tabs = _catmix_embed_tables(
+                tuple(sorted({l: tuple(sl[l])
+                              for l in range(self.maxl + 1)}.items())),
+                k_total, self.maxl)
+            blocks_r = []
+            blocks_i = []
+            for l in range(self.maxl + 1):
+                width = 2 * l + 1
+                _off, pairs = sl[l]
+                if pairs == 0:
+                    z = jnp.zeros((tau, k_total, self.tau_out, width),
+                                  xr.dtype)
+                    blocks_r.append(z)
+                    blocks_i.append(z)
+                    continue
+                emb = jnp.asarray(tabs[l])              # [K, pairs, m]
+                blocks_r.append(jnp.einsum('kpm,pts->tksm', emb,
+                                           ws[(l, s, 'r')]).astype(xr.dtype))
+                blocks_i.append(jnp.einsum('kpm,pts->tksm', emb,
+                                           ws[(l, s, 'i')]).astype(xr.dtype))
+            # l-ordered concat on the m axis == placement at each l's m
+            # offset in the output M axis
+            bw_r = jnp.concatenate(blocks_r, axis=-1)   # [tau, K, s, M]
+            bw_i = jnp.concatenate(blocks_i, axis=-1)
+            nd = xr.ndim
+            dn = (((nd - 2, nd - 1), (0, 1)), ((), ()))
+            yrr = lax.dot_general(xr, bw_r, dn)
+            yri = lax.dot_general(xr, bw_i, dn)
+            yir = lax.dot_general(xi, bw_r, dn)
+            yii = lax.dot_general(xi, bw_i, dn)
+            o_r = yrr - yii
+            o_i = yri + yir
+            acc_r = o_r if acc_r is None else acc_r + o_r
+            acc_i = o_i if acc_i is None else acc_i + o_i
+        return acc_r, acc_i
+
+    def _per_l(self, norm):
         parts_r = []
         parts_i = []
         for l in range(self.maxl + 1):
             width_m = 2 * l + 1
-            total_c = sum(sl[l][1] * xr.shape[-2] for xr, _xi, sl in norm)
-            scale = self.gain / np.sqrt(2.0 * max(total_c, 1))
+            scale = self._scale(norm, l)
             xs = []
             ws_r = []
             ws_i = []
@@ -179,11 +283,8 @@ class PackedCatMix(nn.Module):
             # out_r = xr Wr - xi Wi ; out_i = xr Wi + xi Wr
             parts_r.append(jnp.einsum('...cm,cs->...sm', x2, w2r))
             parts_i.append(jnp.einsum('...cm,cs->...sm', x2, w2i))
-        out_r = jnp.concatenate(parts_r, axis=-1)
-        out_i = jnp.concatenate(parts_i, axis=-1)
-        if self.pair_output:
-            return out_r, out_i
-        return jnp.stack([out_r, out_i], axis=-1)
+        return (jnp.concatenate(parts_r, axis=-1),
+                jnp.concatenate(parts_i, axis=-1))
 
 
 class RadialFiltersStacked(nn.Module):
