@@ -231,17 +231,17 @@ class PackedCatMix(nn.Module):
                 blocks_i.append(jnp.einsum('kpm,pts->tksm', emb,
                                            ws[(l, s, 'i')]).astype(xr.dtype))
             # l-ordered concat on the m axis == placement at each l's m
-            # offset in the output M axis
-            bw_r = jnp.concatenate(blocks_r, axis=-1)   # [tau, K, s, M]
-            bw_i = jnp.concatenate(blocks_i, axis=-1)
+            # offset in the output M axis; (r, i) weights concatenated on the
+            # same axis so each of xr/xi is read by ONE dot (not two — the
+            # [rows, tau*K] operand is the traffic, the outputs are tiny)
+            m_total = sum(b.shape[-1] for b in blocks_r)
+            bw = jnp.concatenate(blocks_r + blocks_i, axis=-1)  # [t,K,s,2M]
             nd = xr.ndim
             dn = (((nd - 2, nd - 1), (0, 1)), ((), ()))
-            yrr = lax.dot_general(xr, bw_r, dn)
-            yri = lax.dot_general(xr, bw_i, dn)
-            yir = lax.dot_general(xi, bw_r, dn)
-            yii = lax.dot_general(xi, bw_i, dn)
-            o_r = yrr - yii
-            o_i = yri + yir
+            y_r = lax.dot_general(xr, bw, dn)           # [..., s, 2M]
+            y_i = lax.dot_general(xi, bw, dn)
+            o_r = y_r[..., :m_total] - y_i[..., m_total:]
+            o_i = y_r[..., m_total:] + y_i[..., :m_total]
             acc_r = o_r if acc_r is None else acc_r + o_r
             acc_i = o_i if acc_i is None else acc_i + o_i
         return acc_r, acc_i
