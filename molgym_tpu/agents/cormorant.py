@@ -108,24 +108,36 @@ class RadialFilters(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def _catmix_embed_tables(slices_key, k_total, maxl):
-    """Static 0/1 scatter tensors S_l [K, pairs_l, 2l+1] with
-    S_l[off_l + p*(2l+1) + m, p, m] = 1 — they embed the per-l mix weights
-    into the full packed-K axis (see PackedCatMix dense path)."""
+def _catmix_embed_table(slices_key, k_total, maxl):
+    """One static 0/1 scatter tensor U [K, 2M, 2C] embedding the
+    concatenated per-(part, l) mix weights into the packed-K x duplicated-M
+    axes of the dense CatMix weight (see PackedCatMix._dense):
+
+        U[off_l + p*(2l+1) + m,  part*M + moff_l + m,  part*C + c(l, p)] = 1
+
+    where c(l, p) enumerates (l, pair) in l-major order, C = sum_l pairs_l,
+    M = (maxl+1)^2, and part 0/1 selects the real/imag weight block.
+    BigW then falls out of ONE einsum 'kqc,cts->ktsq' against the
+    concatenated weights [2C, tau, s] — the earlier per-l einsum + concat
+    chain showed up as ~40 us concatenate fusions per (source, direction)
+    in the TPU trace."""
     slices = dict(slices_key)
-    tabs = []
+    m_total = (maxl + 1) ** 2
+    c_total = sum(slices[l][1] for l in range(maxl + 1))
+    u = np.zeros((k_total, 2 * m_total, 2 * c_total), np.float32)
+    moff = 0
+    c = 0
     for l in range(maxl + 1):
         off, pairs = slices[l]
         width = 2 * l + 1
-        if pairs == 0:
-            tabs.append(None)
-            continue
-        s = np.zeros((k_total, pairs, width), np.float32)
         for p in range(pairs):
             for m in range(width):
-                s[off + p * width + m, p, m] = 1.0
-        tabs.append(s)
-    return tuple(tabs)
+                k = off + p * width + m
+                u[k, moff + m, c] = 1.0
+                u[k, m_total + moff + m, c_total + c] = 1.0
+            c += 1
+        moff += width
+    return u
 
 
 class PackedCatMix(nn.Module):
@@ -205,39 +217,31 @@ class PackedCatMix(nn.Module):
                 ws[(l, s, 'i')] = self.param(f'w_i_l{l}_s{s}',
                                              nn.initializers.normal(scale),
                                              (pairs, tau, self.tau_out))
+        m_total = (self.maxl + 1) ** 2
         acc_r = None
         acc_i = None
         for s, (xr, xi, sl) in enumerate(norm):
             tau = xr.shape[-2]
             k_total = xr.shape[-1]
-            tabs = _catmix_embed_tables(
+            u = _catmix_embed_table(
                 tuple(sorted({l: tuple(sl[l])
                               for l in range(self.maxl + 1)}.items())),
                 k_total, self.maxl)
-            blocks_r = []
-            blocks_i = []
-            for l in range(self.maxl + 1):
-                width = 2 * l + 1
-                _off, pairs = sl[l]
-                if pairs == 0:
-                    z = jnp.zeros((tau, k_total, self.tau_out, width),
-                                  xr.dtype)
-                    blocks_r.append(z)
-                    blocks_i.append(z)
-                    continue
-                emb = jnp.asarray(tabs[l])              # [K, pairs, m]
-                blocks_r.append(jnp.einsum('kpm,pts->tksm', emb,
-                                           ws[(l, s, 'r')]).astype(xr.dtype))
-                blocks_i.append(jnp.einsum('kpm,pts->tksm', emb,
-                                           ws[(l, s, 'i')]).astype(xr.dtype))
-            # l-ordered concat on the m axis == placement at each l's m
-            # offset in the output M axis; (r, i) weights concatenated on the
-            # same axis so each of xr/xi is read by ONE dot (not two — the
+            # weights concatenated l-major, real block then imag block —
+            # matching U's c axis; BigW in one einsum, no per-l concat chain
+            w_cat = jnp.concatenate(
+                [ws[(l, s, 'r')].reshape(-1, tau, self.tau_out)
+                 for l in range(self.maxl + 1) if (l, s, 'r') in ws] +
+                [ws[(l, s, 'i')].reshape(-1, tau, self.tau_out)
+                 for l in range(self.maxl + 1) if (l, s, 'i') in ws],
+                axis=0)                                 # [2C, tau, s]
+            bw = jnp.einsum('kqc,cts->ktsq', jnp.asarray(u),
+                            w_cat).astype(xr.dtype)     # [K, t, s, 2M]
+            # contract the whole packed rep over (tau, K); the (r, i) weight
+            # halves share the dot so each of xr/xi is read ONCE (the
             # [rows, tau*K] operand is the traffic, the outputs are tiny)
-            m_total = sum(b.shape[-1] for b in blocks_r)
-            bw = jnp.concatenate(blocks_r + blocks_i, axis=-1)  # [t,K,s,2M]
             nd = xr.ndim
-            dn = (((nd - 2, nd - 1), (0, 1)), ((), ()))
+            dn = (((nd - 2, nd - 1), (1, 0)), ((), ()))
             y_r = lax.dot_general(xr, bw, dn)           # [..., s, 2M]
             y_i = lax.dot_general(xi, bw, dn)
             o_r = y_r[..., :m_total] - y_i[..., m_total:]
