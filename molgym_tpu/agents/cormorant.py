@@ -132,7 +132,11 @@ def _catmix_embed_table(slices_key, k_total, maxl):
         width = 2 * l + 1
         for p in range(pairs):
             for m in range(width):
-                k = off + p * width + m
+                # off is either the l block's offset (contiguous layout) or
+                # an explicit index tuple over the flattened (pair, m) axis
+                # (permuted layout, cg.fused_cg_table_grouped slices_idx)
+                k = (off[p * width + m] if isinstance(off, tuple)
+                     else off + p * width + m)
                 u[k, moff + m, c] = 1.0
                 u[k, m_total + moff + m, c_total + c] = 1.0
             c += 1
@@ -264,8 +268,13 @@ class PackedCatMix(nn.Module):
                 if pairs == 0:
                     continue
                 tau = xr_full.shape[-2]
-                blk_r = xr_full[..., off:off + pairs * width_m]
-                blk_i = xi_full[..., off:off + pairs * width_m]
+                if isinstance(off, tuple):   # permuted (idx-form) layout
+                    idx = jnp.asarray(off)
+                    blk_r = jnp.take(xr_full, idx, axis=-1)
+                    blk_i = jnp.take(xi_full, idx, axis=-1)
+                else:
+                    blk_r = xr_full[..., off:off + pairs * width_m]
+                    blk_i = xi_full[..., off:off + pairs * width_m]
                 shape = blk_r.shape[:-2] + (tau * pairs, width_m)
                 w_r = self.param(f'w_r_l{l}_s{s}', nn.initializers.normal(scale),
                                  (pairs, tau, self.tau_out)).astype(blk_r.dtype)
@@ -352,9 +361,17 @@ class CGLevelPacked(nn.Module):
             from molgym_tpu.ops.pallas_agg import cg_aggregate_edge_fused_ri
             table3, ag_slices = cg_mod._fused_cg_table(
                 n_ells, self.atom_n_ells, self.maxl)
+            grouped = cg_mod.fused_cg_table_grouped(
+                n_ells, self.atom_n_ells, self.maxl)
+            if grouped is not None:
+                # l1-grouped contraction: the kernel emits a PERMUTED K axis
+                # whose layout the idx-form slices describe; ag_mix's static
+                # scatter table absorbs the permutation at zero runtime cost
+                gtabs, perm, ag_slices = grouped
+                grouped = (gtabs, perm)
             ag_kr, ag_ki = cg_aggregate_edge_fused_ri(
                 sph_packed, rad_feats, atom_r, atom_i, table3,
-                interpret=backend == 'pallas_interpret')
+                interpret=backend == 'pallas_interpret', grouped=grouped)
         else:
             reps = np.array([2 * l + 1 for l in range(n_ells)])
             rad_m = jnp.repeat(rad_feats, repeats=reps, axis=-1,

@@ -124,6 +124,75 @@ def _fused_cg_table(n_ells1: int, n_ells2: int, maxl: int):
     return table, tuple((s[0], s[1]) for s in slices)
 
 
+@lru_cache(maxsize=None)
+def fused_cg_table_grouped(n_ells1: int, n_ells2: int, maxl: int):
+    """l1-grouped compaction of the fused CG table for the edge kernel.
+
+    The combined table C[(m1, m2), k] is block-sparse: column k belongs to
+    exactly one (l1, l2) pair, so its nonzeros live in the single m1 block of
+    l1 — contracting the full [M1*M2, K] table wastes >90% of the MXU tile
+    passes on structural zeros at maxl=4 (15 passes vs 7 grouped). Grouping
+    the contraction by l1 compacts each group's columns: the kernel contracts
+    z's contiguous l1 pair-lane range against a dense [w1*M2, K_g] sub-table
+    and emits the K axis in l1-major (permuted) order; the permutation is
+    absorbed STATICALLY by the consumer's mix-weight scatter table
+    (PackedCatMix idx-form slices), so no runtime gather exists anywhere.
+
+    Returns None when grouping does not reduce MXU tile passes (e.g. the
+    n_ells2=1 first level, where the dense table is a single tile). Else
+    (tables, perm, slices_idx):
+      tables      tuple per l1 of float32 [w1 * M2, K_g] (empty groups kept
+                  as zero-column arrays so group index == l1)
+      perm        int array [K], grouped position -> original column
+      slices_idx  per output l: (idx, n_pairs) with idx a tuple of grouped
+                  positions for the flattened (pair, m) axis — the idx-form
+                  slices contract PackedCatMix consumes.
+    """
+    table, slices = _fused_cg_table(n_ells1, n_ells2, maxl)
+    m1_tot, m2_tot, k_tot = table.shape
+    off1 = np.cumsum([0] + [2 * l + 1 for l in range(n_ells1)])
+
+    # column -> l1 group, from the same block enumeration as _fused_cg_table
+    col_l1 = np.zeros(k_tot, np.int64)
+    k = 0
+    for l in range(maxl + 1):
+        for l1 in range(n_ells1):
+            for l2 in range(n_ells2):
+                if abs(l1 - l2) <= l <= l1 + l2:
+                    col_l1[k:k + 2 * l + 1] = l1
+                    k += 2 * l + 1
+    assert k == k_tot
+
+    def ceil128(n):
+        return -(-n // 128)
+
+    groups = [np.flatnonzero(col_l1 == l1) for l1 in range(n_ells1)]
+    dense_passes = ceil128(m1_tot * m2_tot) * ceil128(k_tot)
+    grouped_passes = sum(
+        ceil128((2 * l1 + 1) * m2_tot) * ceil128(len(g))
+        for l1, g in enumerate(groups) if len(g))
+    if grouped_passes >= dense_passes:
+        return None
+
+    flat = table.reshape(m1_tot * m2_tot, k_tot)
+    tables = tuple(
+        np.ascontiguousarray(
+            flat[off1[l1] * m2_tot:off1[l1 + 1] * m2_tot, g], np.float32)
+        for l1, g in enumerate(groups))
+    perm = np.concatenate([g for g in groups if len(g)]).astype(np.int64)
+    inv = np.empty(k_tot, np.int64)
+    inv[perm] = np.arange(k_tot)
+
+    slices_idx = []
+    for l in range(maxl + 1):
+        off, pairs = slices[l]
+        width = 2 * l + 1
+        idx = tuple(int(inv[off + p * width + m])
+                    for p in range(pairs) for m in range(width))
+        slices_idx.append((idx, pairs))
+    return tables, perm, tuple(slices_idx)
+
+
 def _broadcast_taus(rep1, rep2):
     taus = [max(a.shape[-3] for a in rep1), max(b.shape[-3] for b in rep2)]
     tau = _pair_taus(taus[0], taus[1])

@@ -260,8 +260,13 @@ def _grouped_tile(b: int, n: int, tau: int):
 
 
 def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
-                        se_ref, sq_ref, gexp_ref, repm_ref, tilem_ref, c_ref,
-                        out_r_ref, out_i_ref, *, n_j, m1, m2, n_l):
+                        se_ref, sq_ref, gexp_ref, repm_ref, tilem_ref,
+                        *table_and_out_refs, n_j, m1, m2, n_l, gspec):
+    # table_and_out_refs: the CG table ref(s) — one dense [m1*m2, K] when
+    # gspec is None, else one compacted [w1*m2, K_g] per nonempty l1 group
+    # (see cg.fused_cg_table_grouped) — followed by out_r_ref, out_i_ref.
+    c_refs = table_and_out_refs[:-2]
+    out_r_ref, out_i_ref = table_and_out_refs[-2:]
     se = se_ref[:]
     sq = sq_ref[:]
     gexp = gexp_ref[:]
@@ -295,18 +300,30 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
         big_qr, big_qi = big_q[:rows], big_q[rows:]
         z_r = z_r + big_er * big_qr - big_ei * big_qi
         z_i = z_i + big_er * big_qi + big_ei * big_qr
-    # one stacked final contraction [2R, p] x [p, K]
-    out = jnp.dot(jnp.concatenate([z_r, z_i], axis=0), c_ref[:],
-                  preferred_element_type=jnp.float32)
+    # one stacked final contraction: dense [2R, p] x [p, K], or per-l1 dots
+    # against the compacted group tables (15 -> 7 MXU tile passes at maxl=4;
+    # the dense table is >90% structural zeros, cg.fused_cg_table_grouped)
+    z_ri = jnp.concatenate([z_r, z_i], axis=0)
+    if gspec is None:
+        out = jnp.dot(z_ri, c_refs[0][:], preferred_element_type=jnp.float32)
+    else:
+        out = jnp.concatenate(
+            [jnp.dot(z_ri[:, a:b], c_ref[:],
+                     preferred_element_type=jnp.float32)
+             for (a, b, _ka, _kb), c_ref in zip(gspec, c_refs)], axis=1)
     out_r_ref[:] = out[:rows].astype(out_r_ref.dtype)
     out_i_ref[:] = out[rows:].astype(out_i_ref.dtype)
 
 
 def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
                         se_ref, sq_ref, sqt_ref, gexp_ref, gexpt_ref,
-                        repm_ref, tilem_ref, repm_t_ref, tilem_t_ref, ct_ref,
-                        g_r_ref, g_i_ref,
-                        drad_ref, dq_r_ref, dq_i_ref, *, n_j, m1, m2, n_l):
+                        repm_ref, tilem_ref, repm_t_ref, tilem_t_ref,
+                        *rest_refs, n_j, m1, m2, n_l, gspec):
+    # rest_refs: transposed CG table ref(s) — one dense [K, m1*m2] when
+    # gspec is None, else one [K_g, w1*m2] per nonempty group — then
+    # g_r_ref, g_i_ref, drad_ref, dq_r_ref, dq_i_ref.
+    ct_refs = rest_refs[:-5]
+    g_r_ref, g_i_ref, drad_ref, dq_r_ref, dq_i_ref = rest_refs[-5:]
     se = se_ref[:]
     sq = sq_ref[:]
     gexp = gexp_ref[:]
@@ -329,9 +346,18 @@ def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     # one stacked-rows dot for both complex parts: [2R, K] x ct — the
     # narrow-output table matmuls (25 of 128 lanes live) dominate the
     # backward, so halving their COUNT by row-stacking r/i costs nothing
-    # in FLOPs and saves per-matmul overhead
-    dz_ri = jnp.dot(jnp.concatenate([g_r, g_i], axis=0), ct_ref[:],
-                    preferred_element_type=jnp.float32)
+    # in FLOPs and saves per-matmul overhead. With gspec, one dot per l1
+    # group against the compacted transposed sub-tables (matches the
+    # grouped forward's permuted K axis).
+    g_ri = jnp.concatenate([g_r, g_i], axis=0)
+    if gspec is None:
+        dz_ri = jnp.dot(g_ri, ct_refs[0][:],
+                        preferred_element_type=jnp.float32)
+    else:
+        dz_ri = jnp.concatenate(
+            [jnp.dot(g_ri[:, ka:kb], ct_ref[:],
+                     preferred_element_type=jnp.float32)
+             for (_a, _b, ka, kb), ct_ref in zip(gspec, ct_refs)], axis=1)
     dz_r, dz_i = dz_ri[:rows], dz_ri[rows:]
     dq_slabs_ri = []
     for j in range(n_j):
@@ -375,8 +401,10 @@ def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
 @functools.lru_cache(maxsize=None)
 def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
                      tau: int, tile: int, table_bytes: bytes,
-                     interpret: bool):
-    cflat = np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k)
+                     interpret: bool, group_key=None):
+    # group_key: None (dense final contraction) or a tuple of
+    # ((w1*m2, K_g), bytes) per nonempty l1 group with the l1 values —
+    # entries (l1, shape, bytes) — from cg.fused_cg_table_grouped.
     repm = np.kron(np.eye(m1, dtype=np.float32),
                    np.ones((1, m2), np.float32))
     tilem = np.kron(np.ones((1, m1), np.float32),
@@ -390,9 +418,24 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
     sq = np.zeros((tile, tile // n_j), np.float32)
     for r in range(tile):
         sq[r, (r // (n_j * tau)) * tau + r % tau] = 1.0
-    tables_f = (se, sq, gexp, repm, tilem, cflat)
+    if group_key is None:
+        gspec = None
+        cgs = (np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k), )
+    else:
+        gspec, cgs = [], []
+        ka = 0
+        for l1, shape, raw in group_key:
+            sub = np.frombuffer(raw, np.float32).reshape(shape)
+            gspec.append((l1 * l1 * m2, (l1 + 1) * (l1 + 1) * m2,
+                          ka, ka + shape[1]))
+            cgs.append(sub)
+            ka += shape[1]
+        assert ka == k, (ka, k)
+        gspec = tuple(gspec)
+    tables_f = (se, sq, gexp, repm, tilem) + tuple(cgs)
     tables_b = (se, sq, sq.T.copy(), gexp, gexp.T.copy(), repm, tilem,
-                repm.T.copy(), tilem.T.copy(), cflat.T.copy())
+                repm.T.copy(), tilem.T.copy()) + tuple(
+                    np.ascontiguousarray(c.T) for c in cgs)
 
     def _tiled3(width, rows_per_tile):
         # [n_tiles, rows_per_tile, width] operand; the trailing dims equal
@@ -408,7 +451,7 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
               q_i.reshape(grid, tile // n_j, -1))
         out_r, out_i = pl.pallas_call(
             functools.partial(_grouped_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                              n_l=n_l),
+                              n_l=n_l, gspec=gspec),
             out_shape=(jax.ShapeDtypeStruct((rows, k), rad.dtype),
                        jax.ShapeDtypeStruct((rows, k), rad.dtype)),
             grid=(grid, ),
@@ -432,7 +475,7 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
               q_i.reshape(grid, tile // n_j, -1))
         drad, dq_r, dq_i = pl.pallas_call(
             functools.partial(_grouped_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                              n_l=n_l),
+                              n_l=n_l, gspec=gspec),
             out_shape=(jax.ShapeDtypeStruct((rows, n_j * n_l), rad.dtype),
                        jax.ShapeDtypeStruct((grid, tile // n_j, n_j * m2),
                                             q_r.dtype),
@@ -481,13 +524,19 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
                                rad_feats: jnp.ndarray,
                                atom_r: jnp.ndarray, atom_i: jnp.ndarray,
                                table3: np.ndarray,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               grouped=None):
     """Fused edge-build + CG aggregate, complex parts as SEPARATE arrays.
 
     sph_packed    [B, N, N, M1, 2]  conj relative SH (no gradient)
     rad_feats     [B, N, N, tau, L] gated radial features
     atom_r/atom_i [B, N, tau, M2]   packed atom rep, real / imag
     table3        [M1, M2, K] combined CG block table (cg._fused_cg_table)
+    grouped       optional (tables, perm) from cg.fused_cg_table_grouped:
+                  the final contraction runs per l1 group against the
+                  compacted sub-tables and the output K axis is PERMUTED to
+                  l1-major order — the caller must consume it with the
+                  matching idx-form slices (PackedCatMix).
     returns (out_r, out_i), each packed K-form [B, N, tau, K].
 
     Keeping the complex axis out of the arrays avoids the trailing-2
@@ -504,6 +553,13 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
     table_bytes = np.ascontiguousarray(table3, np.float32).tobytes()
     rad_t = jnp.swapaxes(rad_feats, 2, 3)               # [B, N, tau, N, L]
 
+    group_key = None
+    if grouped is not None:
+        gtabs, _perm = grouped
+        group_key = tuple(
+            (l1, t.shape, np.ascontiguousarray(t, np.float32).tobytes())
+            for l1, t in enumerate(gtabs) if t.shape[1])
+
     gtile = _grouped_tile(B, N, tau)
     if gtile is not None:
         # grouped path: operands enter unexpanded; the kernel expands them
@@ -514,7 +570,7 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
         q_r = jnp.swapaxes(atom_r, 1, 2).reshape(B * tau, N * m2)
         q_i = jnp.swapaxes(atom_i, 1, 2).reshape(B * tau, N * m2)
         fused = _make_grouped_fn(N, m1, m2, n_l, k, tau, gtile, table_bytes,
-                                 interpret)
+                                 interpret, group_key)
         out_r, out_i = fused(rad2d, sph_r, sph_i, q_r, q_i)
         return (out_r.reshape(B, N, tau, k), out_i.reshape(B, N, tau, k))
 
@@ -538,7 +594,15 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
     fused = _make_row_fn(N, m1, m2, k, table_bytes, _pick_row_tile(rows),
                          interpret)
     out_r, out_i = fused(e_r, e_i, q_r, q_i)
-    return (out_r.reshape(B, N, tau, k), out_i.reshape(B, N, tau, k))
+    out_r = out_r.reshape(B, N, tau, k)
+    out_i = out_i.reshape(B, N, tau, k)
+    if grouped is not None:
+        # the row-fallback kernel emits the original K order; apply the
+        # group permutation here so callers see ONE layout either way
+        perm = jnp.asarray(grouped[1])
+        out_r = jnp.take(out_r, perm, axis=-1)
+        out_i = jnp.take(out_i, perm, axis=-1)
+    return (out_r, out_i)
 
 
 def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,

@@ -396,3 +396,89 @@ class TestFusedAggregateKernel:
         for a, b in zip(ge, gp):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=3e-4, rtol=3e-4)
+
+    @pytest.mark.parametrize('path', ['grouped', 'fallback'])
+    def test_l1_grouped_contraction_matches_oracle(self, path, monkeypatch):
+        """At maxl=4 the kernel contracts z per l1 group against compacted
+        sub-tables and emits a PERMUTED K axis (cg.fused_cg_table_grouped);
+        forward and gradients must equal the einsum oracle's columns taken
+        in that permutation, on both kernel strategies."""
+        from molgym_tpu.ops import pallas_agg
+        from molgym_tpu.ops.cg import (_fused_cg_table, cg_aggregate_packed,
+                                       fused_cg_table_grouped)
+        if path == 'fallback':
+            monkeypatch.setattr(pallas_agg, '_grouped_tile', lambda *a: None)
+
+        maxl, B, N, tau = 4, 2, 4, 5
+        n_ells = maxl + 1
+        m1 = m2 = n_ells ** 2
+        rng = np.random.RandomState(3)
+        sph = jnp.asarray(rng.randn(B, N, N, m1, 2).astype(np.float32))
+        rad = jnp.asarray(rng.randn(B, N, N, tau, n_ells).astype(np.float32))
+        atom = jnp.asarray(rng.randn(B, N, tau, m2, 2).astype(np.float32))
+        table3, _sl = _fused_cg_table(n_ells, n_ells, maxl)
+        gtabs, perm, _slices_idx = fused_cg_table_grouped(n_ells, n_ells,
+                                                          maxl)
+        permj = jnp.asarray(perm)
+
+        def via_einsum(rad_, atom_):
+            reps = np.array([2 * l + 1 for l in range(n_ells)])
+            rad_m = jnp.repeat(rad_, repeats=reps, axis=-1,
+                               total_repeat_length=m1)
+            edge = rad_m[..., None] * sph[..., None, :, :]
+            out, _ = cg_aggregate_packed(edge, atom_, n_ells, n_ells, maxl)
+            return out[..., permj, :]
+
+        def via_pallas(rad_, atom_):
+            r, i = pallas_agg.cg_aggregate_edge_fused_ri(
+                sph, rad_, atom_[..., 0], atom_[..., 1], table3,
+                interpret=True, grouped=(gtabs, perm))
+            return jnp.stack([r, i], axis=-1)
+
+        ref = via_einsum(rad, atom)
+        out = via_pallas(rad, atom)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+        cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+        ge = jax.grad(lambda r_, a_: jnp.sum(via_einsum(r_, a_) * cot),
+                      argnums=(0, 1))(rad, atom)
+        gp = jax.grad(lambda r_, a_: jnp.sum(via_pallas(r_, a_) * cot),
+                      argnums=(0, 1))(rad, atom)
+        for a, b in zip(ge, gp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)
+
+    def test_grouped_level_matches_einsum_backend(self):
+        """Full CGLevelPacked on the pallas_interpret backend at maxl=4 —
+        permuted kernel output consumed through PackedCatMix's idx-form
+        slices — must equal the einsum-backend level bit-for-math."""
+        from molgym_tpu.agents.cormorant import CGLevelPacked
+        from molgym_tpu.ops.cg import set_aggregate_backend as set_agg_backend
+
+        maxl, B, N, tau, tau_out = 4, 2, 4, 3, 4
+        n_ells = maxl + 1
+        m = n_ells ** 2
+        rng = np.random.RandomState(7)
+        atom_r = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
+        atom_i = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
+        sph = jnp.asarray(rng.randn(B, N, N, m, 2).astype(np.float32))
+        rad = jnp.asarray(rng.randn(B, N, N, tau, n_ells).astype(np.float32))
+        mask = jnp.ones((B, N), bool)
+
+        level = CGLevelPacked(maxl=maxl, tau_out=tau_out, atom_n_ells=n_ells)
+        params = level.init(jax.random.PRNGKey(0), atom_r, atom_i, sph, rad,
+                            mask)
+        set_agg_backend('einsum')
+        try:
+            ref_r, ref_i = level.apply(params, atom_r, atom_i, sph, rad, mask)
+        finally:
+            set_agg_backend('auto')
+        set_agg_backend('pallas_interpret')
+        try:
+            out_r, out_i = level.apply(params, atom_r, atom_i, sph, rad, mask)
+        finally:
+            set_agg_backend('auto')
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                                   atol=2e-4, rtol=2e-4)
