@@ -45,7 +45,7 @@ struct ElementBasis {
 
 // returns basis or nullptr if unsupported
 struct BasisTable {
-  ElementBasis H, C, N, O, F, S, Cl;
+  ElementBasis H, C, N, O, F, S, Cl, Br;
 };
 
 // thread-safe: C++11 magic-static initialization (the first EHT evaluation
@@ -95,6 +95,18 @@ const BasisTable& basis_table() {
                     {-0.21962037, 0.22559543, 0.90039843}, -30.0};
     Cl.shells[1] = {1, {2.5014600, 0.6978800, 0.2731460},
                     {0.01058760, 0.59516701, 0.46200101}, -15.0};
+    // Br 4sp: same third-row contraction shape scaled to zeta = 2.30
+    // (between the standard EHT 4s/4p Slater exponents 2.588/2.131 —
+    // shared-exponent sp shells force one zeta); VSIP -22.07 / -13.10 eV
+    // (standard extended-Hueckel bromine parameters)
+    ElementBasis& Br = t.Br;
+    Br.n_shells = 2;
+    Br.valence_electrons = 7;
+    Br.repulsion_radius = 1.20;
+    Br.shells[0] = {0, {2.3841075, 0.6651152, 0.2603401},
+                    {-0.21962037, 0.22559543, 0.90039843}, -22.07};
+    Br.shells[1] = {1, {2.3841075, 0.6651152, 0.2603401},
+                    {0.01058760, 0.59516701, 0.46200101}, -13.10};
     return t;
   }();
   return table;
@@ -110,6 +122,7 @@ const ElementBasis* element_basis(int z) {
     case 9: return &t.F;
     case 16: return &t.S;
     case 17: return &t.Cl;
+    case 35: return &t.Br;
     default: return nullptr;
   }
 }

@@ -87,6 +87,12 @@ static const Elem kElems[] = {
     {17, 7.0, 3, 3.784645, 2.036263, -100.227166, -77.378667, -14.262320,
      -14.262320, 15.03, 13.16, 11.30, 9.97, 2.42, true,
      false, 0.0, 0.0, 0.0},
+    // Br (sp, n=4): MNDO element block (Dewar & Healy 1983) + in-tree
+    // anchor-calibrated diatomic constants (HBr/Br2/CH3Br) — see
+    // nddo_ref.py PM6_PARAMS[35] and experiments/pm6_anchor_fit/.
+    {35, 7.0, 4, 3.854302, 2.199209, -99.986441, -75.671307, -8.917107,
+     -9.943740, 15.036395, 13.034682, 11.276325, 9.854426, 2.455869, true,
+     false, 0.0, 0.0, 0.0},
 };
 
 static int n_orbs(const Elem& e) { return e.has_d ? 9 : (e.has_p ? 4 : 1); }
@@ -120,6 +126,8 @@ static const PairCC kPairs[] = {
     {8, 16, 2.000137, 1.453441},      {9, 9, 3.439433, 1.885009},
     {9, 16, 2.116469, 0.630170},      {16, 16, 1.792625, 0.959002},
     {17, 17, 2.068055, 0.901000},
+    {1, 35, 2.115282, 1.238931},     {6, 35, 2.014177, 1.028765},
+    {35, 35, 2.843407, 6.216140},
 };
 
 static void pair_cc(int za, int zb, double* alpha, double* x, bool* gauss_r2) {
@@ -1541,7 +1549,14 @@ static double scf(const Molecule& mol, bool* converged,
       }
   }
   std::vector<double> fa(nn), fb(nn), ptot(nn), pa_new(nn), pb_new(nn);
-  constexpr int kDiisMax = 8;
+  // DIIS history 20, not 8: near-degenerate clusters (e.g. an O3NF chain
+  // from the random-molecule parity test) need the larger subspace — with
+  // 8 they stall at a NON-stationary plateau (err ~1e-5, [F,P] frozen by
+  // the level shift) whose acceptance was machine-FP-dependent; with 20
+  // the same system converges tightly (err < 1e-7) in ~110 iterations.
+  // Cost: ~1 MB extra history and a 21x21 B-matrix solve per iteration —
+  // negligible. Mirrors nddo_ref.py scf.
+  constexpr int kDiisMax = 20;
   std::vector<std::vector<double>> diis_err, diis_fa, diis_fb;
   double e_prev = 0.0;
   *converged = false;
@@ -1551,6 +1566,7 @@ static double scf(const Molecule& mol, bool* converged,
   // err ~1e-5 forever (mirrors nddo_ref.py scf exactly)
   double shift = 0.0, mix_floor = 1.0;
   int flat_count = 0;
+  static const bool debug = std::getenv("MOLGYM_SCF_DEBUG") != nullptr;
   for (int it = 0; it < 500; ++it) {
     if (it == 200 || it == 350) {
       diis_err.clear();
@@ -1585,7 +1601,16 @@ static double scf(const Molecule& mol, bool* converged,
     // primary: tight commutator; secondary: energy flat 5 consecutive
     // iterations with a loose commutator (energy error is O(err^2); see
     // nddo_ref.py scf for the rationale)
-    const bool flat = std::fabs(e_elec - e_prev) < 1e-12;
+    if (debug && (it < 10 || it % 25 == 0))
+      std::fprintf(stderr, "scf it=%d e=%.14f err=%.3e\n", it, e_elec,
+                   err_norm);
+    // flat threshold 1e-11, not 1e-12: near-degenerate radicals (e.g. the
+    // NS doublet at 1.6 A) can CREEP at ~7e-12 Ha/iteration with err stuck
+    // at ~2e-6 — whether that drift sits above or below 1e-12 depends on
+    // the compiler's FP contraction, so 1e-12 made convergence
+    // machine-dependent. The energy error at err 1e-5 is O(err^2) ~ 1e-10,
+    // far below the 1e-8 golden tolerance. Mirrors nddo_ref.py scf.
+    const bool flat = std::fabs(e_elec - e_prev) < 1e-11;
     flat_count = flat ? flat_count + 1 : 0;
     if (it > 1 && flat &&
         (err_norm < 1e-7 || (flat_count >= 5 && err_norm < 1e-5))) {

@@ -102,11 +102,11 @@ def sf4(rax, req, ax_ang=173.1, eq_ang=101.6):
                [0, -req * math.sin(e), req * math.cos(e)]])
 
 
-def ch3cl(rccl, rch=1.09):
-    # staggered methyl, C3v; H-C-Cl angle ~108.4 deg
-    hc = math.radians(180.0 - 108.4)
-    pos = [[0, 0, 0], [0, 0, rccl]]
-    zs = [6, 17]
+def ch3x(zx, rcx, rch=1.09, hcx_deg=108.4):
+    # staggered methyl halide, C3v; H-C-X angle ~108.4 deg
+    hc = math.radians(180.0 - hcx_deg)
+    pos = [[0, 0, 0], [0, 0, rcx]]
+    zs = [6, zx]
     for k in range(3):
         phi = 2 * math.pi * k / 3
         pos.append([rch * math.sin(hc) * math.cos(phi),
@@ -114,6 +114,10 @@ def ch3cl(rccl, rch=1.09):
                     -rch * math.cos(hc)])
         zs.append(1)
     return en(zs, pos)
+
+
+def ch3cl(rccl, rch=1.09):
+    return ch3x(17, rccl, rch)
 
 
 def opt_1d(f, lo, hi, tol=1e-3):
@@ -146,7 +150,8 @@ def opt_1d(f, lo, hi, tol=1e-3):
 # --- anchors ---------------------------------------------------------------
 
 # experimental 298K heats of formation (kcal/mol): atoms and molecules
-DHF_ATOM = {1: 52.102, 6: 170.89, 8: 59.559, 9: 18.89, 16: 66.40, 17: 28.99}
+DHF_ATOM = {1: 52.102, 6: 170.89, 8: 59.559, 9: 18.89, 16: 66.40, 17: 28.99,
+            35: 26.74}
 ANCHORS = {
     # name: (target_atomization_kcal, target_geometry)
     'O2': (-120.2, 1.208),
@@ -158,6 +163,11 @@ ANCHORS = {
     'HCl': (-103.2, 1.275),
     'Cl2': (-58.0, 1.988),
     'CH3Cl': (-375.8, 1.785),
+    # Br (round 3, after Cl): dHf(HBr) = -8.70, dHf(Br2 g) = 7.39,
+    # dHf(CH3Br) = -8.2 kcal/mol; bond lengths from experiment.
+    'HBr': (-87.5, 1.414),
+    'Br2': (-46.1, 2.281),
+    'CH3Br': (-362.0, 1.934),
 }
 
 
@@ -199,6 +209,15 @@ def measure(name):
     elif name == 'CH3Cl':
         ref = atom_e(6) + atom_e(17) + 3 * atom_e(1)
         r, e = opt_1d(ch3cl, 1.5, 2.2)
+    elif name == 'HBr':
+        ref = atom_e(35) + atom_e(1)
+        r, e = opt_1d(lambda r: diatomic(35, 1, r), 1.1, 1.9)
+    elif name == 'Br2':
+        ref = 2 * atom_e(35)
+        r, e = opt_1d(lambda r: diatomic(35, 35, r), 1.9, 2.8)
+    elif name == 'CH3Br':
+        ref = atom_e(6) + atom_e(35) + 3 * atom_e(1)
+        r, e = opt_1d(lambda r: ch3x(35, r), 1.6, 2.4)
     else:
         raise KeyError(name)
     return (e - ref) * KCAL, r
@@ -218,7 +237,8 @@ def table(names=None):
 # --- pair fitting ----------------------------------------------------------
 
 PAIR_OF = {'O2': (8, 8), 'F2': (9, 9), 'H2S': (1, 16), 'SO2': (8, 16),
-           'HCl': (1, 17), 'Cl2': (17, 17), 'CH3Cl': (6, 17)}
+           'HCl': (1, 17), 'Cl2': (17, 17), 'CH3Cl': (6, 17),
+           'HBr': (1, 35), 'Br2': (35, 35), 'CH3Br': (6, 35)}
 
 
 def fit_pair(names, pair, x0=None, scale_e=None, verbose=True):
@@ -273,6 +293,9 @@ def fit_all_pairs(include_cl=True, verbose=True):
         fit_pair('HCl', (1, 17), verbose=verbose)
         fit_pair('Cl2', (17, 17), verbose=verbose)
         fit_pair('CH3Cl', (6, 17), verbose=verbose)
+        fit_pair('HBr', (1, 35), verbose=verbose)
+        fit_pair('Br2', (35, 35), verbose=verbose)
+        fit_pair('CH3Br', (6, 35), verbose=verbose)
     return sol_sf
 
 

@@ -150,6 +150,19 @@ PM6_PARAMS: Dict[int, ElementParams] = {
                       beta_s=-14.262320, beta_p=-14.262320,
                       gss=15.03, gsp=13.16, gpp=11.30,
                       gp2=9.97, hsp=2.42),
+    # Br (sp, n=4): same epistemic class as Cl — the element block is the
+    # documented MNDO bromine set (Dewar & Healy 1983: exponents, U terms,
+    # betas, Oleari-derived one-center integrals); the H-Br / C-Br / Br-Br
+    # diatomic constants are calibrated in-tree against experimental
+    # HBr / CH3Br / Br2 atomization energies + bond lengths
+    # (experiments/pm6_anchor_fit/). Completes the environment's
+    # solo-distance element set H/F/Cl/Br (reference
+    # molgym/environment.py:103-118).
+    35: ElementParams(z=35, zval=7.0, n=4, zs=3.854302, zp=2.199209,
+                      uss=-99.986441, upp=-75.671307,
+                      beta_s=-8.917107, beta_p=-9.943740,
+                      gss=15.036395, gsp=13.034682, gpp=11.276325,
+                      gp2=9.854426, hsp=2.455869),
 }
 
 # PM6 diatomic core-core parameters: (alpha [1/A or 1/A^2], x), keyed by the
@@ -195,6 +208,9 @@ PM6_PAIR_PARAMS: Dict[Tuple[int, int], Tuple[float, float]] = {
     (9, 16): (2.116469, 0.630170),   # anchor-fit: SF6 + SF4 jointly
     (16, 16): (1.792625, 0.959002),
     (17, 17): (2.068055, 0.901000),  # anchor-fit: Cl2
+    (1, 35): (2.115282, 1.238931),   # anchor-fit: HBr
+    (6, 35): (2.014177, 1.028765),   # anchor-fit: CH3Br
+    (35, 35): (2.843407, 6.216140),  # anchor-fit: Br2
 }
 
 GAUSS_R2_PAIRS = {(1, 7), (1, 8)}  # N-H, O-H use the R^2 gaussian form
@@ -1087,7 +1103,13 @@ class NDDO:
         occ = c[:, :nocc]
         return occ @ occ.T
 
-    def scf(self, max_iter: int = 500, tol: float = 1e-12
+    # tol 1e-11, not 1e-12: near-degenerate radicals (the NS doublet at
+    # 1.6 A) can creep at ~7e-12 Ha/iteration with the commutator stuck at
+    # ~2e-6, and whether that drift clears 1e-12 depends on the compiler's
+    # FP contraction — 1e-12 made convergence machine-dependent in the C++
+    # backend. Energy error at err 1e-5 is O(err^2) ~ 1e-10, far below the
+    # 1e-8 golden tolerance. Mirrors csrc/nddo.cpp scf.
+    def scf(self, max_iter: int = 500, tol: float = 1e-11
             ) -> Tuple[float, bool]:
         """Returns (total energy in Hartree, converged flag).
 
@@ -1148,7 +1170,9 @@ class NDDO:
             e_prev = e_elec
             diis_err.append(err)
             diis_f.append((fa.copy(), fb.copy()))
-            if len(diis_err) > 8:
+            # history 20 (see csrc/nddo.cpp kDiisMax): near-degenerate
+            # clusters stall at a non-stationary plateau with history 8
+            if len(diis_err) > 20:
                 diis_err.pop(0)
                 diis_f.pop(0)
             if len(diis_err) >= 2:

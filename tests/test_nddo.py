@@ -484,7 +484,8 @@ class TestDShellMachinery:
 
 
 def _cpp_energy(zs, pos):
-    symbols = {1: 'H', 6: 'C', 7: 'N', 8: 'O', 9: 'F', 16: 'S', 17: 'Cl'}
+    symbols = {1: 'H', 6: 'C', 7: 'N', 8: 'O', 9: 'F', 16: 'S', 17: 'Cl',
+               35: 'Br'}
     calc = pm6_calc([symbols[z] for z in zs], np.asarray(pos, np.float64))
     return calc.calculate_energy()
 
@@ -518,6 +519,8 @@ class TestThermochemistryAnchors:
         ('F2', [9, 9], None, 1.2, 1.7, -37.9, 6.0, 1.412, 0.02),
         ('HCl', [17, 1], None, 1.0, 1.6, -103.2, 12.0, 1.275, 0.03),
         ('Cl2', [17, 17], None, 1.7, 2.3, -58.0, 6.0, 1.988, 0.02),
+        ('HBr', [35, 1], None, 1.1, 1.8, -87.5, 6.0, 1.414, 0.03),
+        ('Br2', [35, 35], None, 1.95, 2.6, -46.1, 6.0, 2.281, 0.02),
     ])
     def test_diatomic(self, name, zs, build, lo, hi, target_e, tol_e,
                       target_r, tol_r):
@@ -666,6 +669,60 @@ class TestChlorine:
         new_atom = Atom('Cl', (1.79, 0.0, 0.0))
         r, info = reward.calculate(atoms, new_atom)
         assert np.isfinite(r) and r > 0.0  # C-Cl binds
+
+
+class TestBromine:
+    """Br (sp, n=4) support in the native PM6 backend, completing the
+    environment's solo-distance element set H/F/Cl/Br (reference
+    molgym/environment.py:103-118): MNDO element block (Dewar & Healy 1983)
+    + anchor-calibrated HBr/Br2/CH3Br pairs (experiments/pm6_anchor_fit/),
+    oracle <-> C++ parity. The n=4 principal quantum number exercises the
+    general-n STO overlap/multipole machinery beyond the n<=3 rows."""
+
+    def test_supported(self):
+        from molgym_tpu.calculators.native import load_library
+        assert load_library().mg_nddo_supported(35) == 1
+
+    def test_hbr_parity_and_binding(self):
+        pos = [[0, 0, 0], [1.414, 0, 0]]
+        e_cpp = _cpp_energy([35, 1], pos)
+        e_py = nddo_ref.energy([35, 1], pos)
+        assert e_cpp == pytest.approx(e_py, abs=2e-9)
+        assert e_cpp < _cpp_energy([35], [[0, 0, 0]]) + _cpp_energy(
+            [1], [[0, 0, 0]])
+
+    def test_ch3br_parity_and_anchor(self):
+        pos = [[0, 0, 0], [0, 0, 1.934], [1.03, 0, -0.36],
+               [-0.51, 0.89, -0.36], [-0.51, -0.89, -0.36]]
+        zs = [6, 35, 1, 1, 1]
+        e_cpp = _cpp_energy(zs, pos)
+        assert e_cpp == pytest.approx(nddo_ref.energy(zs, pos), abs=2e-9)
+        # anchor: exp atomization -362.0 kcal/mol at the fitted geometry
+        atoms = sum(_cpp_energy([z], [[0, 0, 0]]) for z in zs)
+        kcal = (e_cpp - atoms) * 627.509474
+        assert abs(kcal - (-362.0)) < 10.0, kcal
+
+    def test_br_atom_doublet(self):
+        m = nddo_ref.NDDO([35], [[0, 0, 0]])
+        m.scf()
+        # ground state 4s2 4p5: one unpaired p electron
+        assert m.n_alpha - m.n_beta == 1
+
+    def test_br_reward_pipeline(self):
+        # the env reward path end-to-end with Br atoms (PM6 backend)
+        reward = InteractionReward(backend='pm6')
+        atoms = Atoms(['C'], [(0.0, 0.0, 0.0)])
+        new_atom = Atom('Br', (1.93, 0.0, 0.0))
+        r, info = reward.calculate(atoms, new_atom)
+        assert np.isfinite(r) and r > 0.0  # C-Br binds
+
+    def test_br_eht_binding(self):
+        # EHT backend covers Br too (cheap-reward path)
+        reward = InteractionReward(backend='eht')
+        atoms = Atoms(['H'], [(0.0, 0.0, 0.0)])
+        new_atom = Atom('Br', (1.41, 0.0, 0.0))
+        r, info = reward.calculate(atoms, new_atom)
+        assert np.isfinite(r) and r > 0.0  # H-Br binds
 
 
 class TestDMultipoleRotationLeakBound:

@@ -214,6 +214,11 @@ class TestMultihost:
         env_vars['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
         env_vars.pop('JAX_NUM_PROCESSES', None)
         env_vars.pop('PALLAS_AXON_POOL_IPS', None)
+        # the workers run with cwd=tmp_path, so the repo root must be on
+        # their path explicitly (molgym_tpu is not pip-installed)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env_vars['PYTHONPATH'] = repo_root + os.pathsep + env_vars.get(
+            'PYTHONPATH', '')
         outs_npz = [str(tmp_path / f'rank{i}.npz') for i in range(2)]
         procs = [subprocess.Popen(
             [sys.executable, '-c', worker, str(i), str(port), outs_npz[i]],
