@@ -1523,7 +1523,8 @@ static double scf(const Molecule& mol, bool* converged,
                   std::vector<double>* pa_out = nullptr,
                   std::vector<double>* pb_out = nullptr,
                   const double* pa_guess = nullptr,
-                  const double* pb_guess = nullptr, int guess_norb = 0) {
+                  const double* pb_guess = nullptr, int guess_norb = 0,
+                  int max_iter = 500) {
   const int norb = mol.n_orb;
   const int nn = norb * norb;
   std::vector<double> pa(nn, 0.0), pb(nn, 0.0);
@@ -1561,13 +1562,22 @@ static double scf(const Molecule& mol, bool* converged,
   double e_prev = 0.0;
   *converged = false;
   double e_elec = 0.0;
-  // three deterministic phases: plain DIIS; DIIS restart + damping + level
+  // Three deterministic phases: plain DIIS; DIIS restart + damping + level
   // shift; heavier damping — small-gap systems otherwise oscillate at
-  // err ~1e-5 forever (mirrors nddo_ref.py scf exactly)
+  // err ~1e-5 forever (mirrors nddo_ref.py scf exactly).
+  //
+  // Negative result (measured, round 3): extending the ladder past 500 with
+  // alternating shifted/plain phases converges more random knife-edge
+  // clusters in isolation (35/40 vs 30/40) but destroys cross-
+  // implementation reproducibility — after 500+ near-chaotic DIIS
+  // iterations the C++ and numpy-oracle trajectories separate into
+  // different UHF basins (converged-value gaps up to 0.16 Ha, 5 outcome
+  // mismatches vs 3). The ladder deliberately stops at 500; see
+  // nddo_ref.py SCF_PHASES for the full note.
   double shift = 0.0, mix_floor = 1.0;
   int flat_count = 0;
   static const bool debug = std::getenv("MOLGYM_SCF_DEBUG") != nullptr;
-  for (int it = 0; it < 500; ++it) {
+  for (int it = 0; it < max_iter; ++it) {
     if (it == 200 || it == 350) {
       diis_err.clear();
       diis_fa.clear();

@@ -1109,15 +1109,29 @@ class NDDO:
     # FP contraction — 1e-12 made convergence machine-dependent in the C++
     # backend. Energy error at err 1e-5 is O(err^2) ~ 1e-10, far below the
     # 1e-8 golden tolerance. Mirrors csrc/nddo.cpp scf.
+    # Phase ladder {start_iteration: (level_shift, mix_floor)}: plain DIIS,
+    # then a DIIS restart + density damping + level shift
+    # (F + shift (I - P) before diagonalization), then heavier damping —
+    # small-gap systems otherwise oscillate indefinitely at err ~1e-5.
+    #
+    # Negative result (measured, round 3): extending the ladder past 500
+    # with alternating shifted-damped / plain-DIIS phases converges more
+    # random knife-edge clusters in isolation (35/40 vs 30/40 on the fuzz
+    # set with sub-0.6-Å contacts the environment rejects) but DESTROYS
+    # cross-implementation reproducibility: after 500+ near-chaotic DIIS
+    # iterations the C++ and numpy trajectories separate and land in
+    # different UHF basins — 5 converged/NaN outcome mismatches (vs 3) and
+    # converged-value gaps up to 0.16 Ha (vs 1.9e-8 worst). Consistent
+    # both-sides NaN on pathological clusters is worth more than marginal
+    # extra convergence, so the ladder deliberately stops at 500.
+    SCF_PHASES = {200: (0.5, 0.35), 350: (1.0, 0.2)}
+
     def scf(self, max_iter: int = 500, tol: float = 1e-11
             ) -> Tuple[float, bool]:
         """Returns (total energy in Hartree, converged flag).
 
-        Convergence machinery: Pulay DIIS on the [F, P] commutators, in three
-        deterministic phases — plain DIIS; then (if unconverged at 200 its) a
-        DIIS restart with density damping and a level shift
-        (F + shift (I - P) before diagonalization); then heavier damping.
-        Small-gap systems otherwise oscillate indefinitely at err ~1e-5.
+        Convergence machinery: Pulay DIIS on the [F, P] commutators with the
+        deterministic SCF_PHASES ladder above. Mirrors csrc/nddo.cpp scf.
         """
         norb = self.n_orb
         # symmetric diagonal guess: valence charge spread over the shell
@@ -1142,11 +1156,10 @@ class NDDO:
         flat_count = 0
         eye = np.eye(norb)
         for it in range(max_iter):
-            if it in (200, 350):  # phase transitions for stubborn systems
+            if it in self.SCF_PHASES:  # phase transition: DIIS restart
                 diis_err.clear()
                 diis_f.clear()
-                shift = 0.5 if it == 200 else 1.0
-                mix_floor = 0.35 if it == 200 else 0.2
+                shift, mix_floor = self.SCF_PHASES[it]
             p_tot = pa + pb
             fa = self._fock(p_tot, pa)
             fb = self._fock(p_tot, pb)

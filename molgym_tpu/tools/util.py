@@ -35,6 +35,16 @@ def enable_compile_cache() -> str:
     scary feature-mismatch error (verified empirically: fresh dir, same
     process re-run). CPU compiles are local and fast; clean stderr is worth
     more than the warm start. Set MOLGYM_TPU_XLA_CACHE_CPU=1 to force it on.
+
+    Even on the TPU backend, CPU-platform executables slip into the cache:
+    bench/driver code deliberately jits small init/action-gen programs on the
+    host CPU platform to avoid tunneled TPU compiles, and any such program
+    whose compile exceeded the min-compile-time floor was written as a CPU
+    AOT entry — whose reload then logs the same pseudo-feature mismatch (seen
+    throughout BENCH_r02's stderr). Fix: set the floor to 10 s, well above
+    any local CPU compile but far below the multi-minute tunneled TPU
+    compiles this cache exists for, and version the directory key ('p2') so
+    stale CPU entries from the old policy are never re-read.
     """
     import hashlib
     import platform
@@ -50,10 +60,10 @@ def enable_compile_cache() -> str:
         flags = ''
     fp = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
     base = os.environ.get('MOLGYM_TPU_XLA_CACHE', '/tmp/molgym_tpu_xla_cache')
-    cache_dir = f'{base}_{jax.default_backend()}_{fp}'
+    cache_dir = f'{base}_{jax.default_backend()}_{fp}_p2'
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
     return cache_dir
 
 
