@@ -95,6 +95,23 @@ class TestStep:
             (np.array([2]), np.array([[1.75, 0, 0]], np.float32)))
         assert not done[0]
 
+    def test_solo_distance_bromine(self):
+        # Br completes the reference's solo-candidate set (H/F/Cl/Br,
+        # environment.py:103-118); same accept/reject geometry as Cl.
+        env, _ = make_env('CBr2', zs=(0, 6, 35), canvas_size=4,
+                          max_solo_distance=2.0)
+        vec = VecEnv(env, num_envs=1)
+        vec.reset()
+        vec.step((np.array([1]), np.zeros((1, 3), np.float32)))  # C at origin
+        obs, reward, done, _ = vec.step(
+            (np.array([2]), np.array([[4.0, 0, 0]], np.float32)))
+        assert done[0] and reward[0] == pytest.approx(-0.6)
+        vec.reset()
+        vec.step((np.array([1]), np.zeros((1, 3), np.float32)))
+        obs, reward, done, _ = vec.step(
+            (np.array([2]), np.array([[1.9, 0, 0]], np.float32)))
+        assert not done[0]
+
     def test_heavy_far_is_valid(self):
         # A heavy atom (O) placed far from another heavy atom is fine.
         env, _ = make_env('O2', zs=(0, 8), canvas_size=4)
