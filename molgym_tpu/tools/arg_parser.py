@@ -127,7 +127,9 @@ def build_default_argparser() -> argparse.ArgumentParser:
     parser.add_argument('--eval_freq', help='evaluate every <n> iterations',
                         type=int, default=10)
     parser.add_argument('--num_eval_episodes',
-                        help='episodes per evaluation', type=int, default=1)
+                        help='episodes per evaluation '
+                             '(default: one per eval formula)',
+                        type=int, default=None)
 
     # Training algorithm
     parser.add_argument('--optimizer', help='optimizer', type=str,

@@ -233,7 +233,11 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         num_steps_per_iter=config['num_steps_per_iter'],
         save_freq=config['save_freq'],
         eval_freq=config['eval_freq'],
-        num_eval_episodes=config.get('num_eval_episodes') or 1,
+        # default: one greedy episode per eval formula so multi-bag evals
+        # cover every bag in the cycle (reference scripts/run.py:69-70 — all
+        # three reference drivers default num_eval_episodes=len(eval_formulas))
+        num_eval_episodes=(config.get('num_eval_episodes')
+                           or int(eval_env.formulas.shape[0])),
         model_handler=model_handler,
         rollout_saver=rollout_saver,
         save_train_rollout=save_mode in ('train', 'all'),
