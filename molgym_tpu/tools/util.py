@@ -59,7 +59,14 @@ def enable_compile_cache() -> str:
     except OSError:
         flags = ''
     fp = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
-    base = os.environ.get('MOLGYM_TPU_XLA_CACHE', '/tmp/molgym_tpu_xla_cache')
+    # Default under $HOME, not /tmp: /tmp is wiped between sessions on this
+    # image (observed 2026-08-18: every tunneled-TPU program went back to a
+    # multi-minute fresh compile), while the home volume persists with the
+    # repo. The machine fingerprint in the dir name keeps a restored home on
+    # different hardware from replaying foreign AOT entries.
+    default_base = os.path.join(os.path.expanduser('~'), '.cache',
+                                'molgym_tpu_xla_cache')
+    base = os.environ.get('MOLGYM_TPU_XLA_CACHE', default_base)
     cache_dir = f'{base}_{jax.default_backend()}_{fp}_p2'
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
