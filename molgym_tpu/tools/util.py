@@ -64,8 +64,9 @@ def enable_compile_cache() -> str:
     # multi-minute fresh compile), while the home volume persists with the
     # repo. The machine fingerprint in the dir name keeps a restored home on
     # different hardware from replaying foreign AOT entries.
-    default_base = os.path.join(os.path.expanduser('~'), '.cache',
-                                'molgym_tpu_xla_cache')
+    default_base = os.path.join(
+        os.environ.get('XDG_CACHE_HOME', os.path.expanduser('~/.cache')),
+        'molgym_tpu_xla_cache')
     base = os.environ.get('MOLGYM_TPU_XLA_CACHE', default_base)
     cache_dir = f'{base}_{jax.default_backend()}_{fp}_p2'
     os.makedirs(cache_dir, exist_ok=True)
