@@ -109,15 +109,35 @@ def log_prob(dist: SO3Distribution, points: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dist.empty, -LOG_4PI, lp)
 
 
+def so3_quadrature_order(maxl: int) -> int:
+    """Gauss-Legendre theta order for the ExpSO3 log-partition at a given
+    maxl. The exponent |Σ a Y|² is a degree-2·maxl harmonic polynomial (exact
+    from n_theta = maxl + 1), but exp(-β·) is not polynomial, so margin is
+    required: the validated configuration is maxl=4 with n_theta=24 (sampler
+    bias < 0.003 nats at β=-10, round-2 item 7). Scaling that margin linearly
+    (6·maxl, floored at 24) keeps the exponent-degree-to-order ratio constant
+    as --maxl grows instead of silently under-integrating log_z."""
+    return max(24, 6 * maxl)
+
+
 def make_so3_distribution(a_lms: Sequence[jnp.ndarray], empty: jnp.ndarray,
                           beta: Optional[float] = None,
-                          quad_n_theta: int = 24) -> SO3Distribution:
+                          quad_n_theta: Optional[int] = None) -> SO3Distribution:
     coeffs = tuple(normalize_alms(a_lms))
     batch = coeffs[0].shape[0]
     if beta is None:
         log_z = jnp.zeros((batch, ), jnp.float32)
         return SO3Distribution(coefficients=coeffs, empty=empty, log_z=log_z,
                                beta=None)
+    maxl = len(coeffs) - 1
+    required = so3_quadrature_order(maxl)
+    if quad_n_theta is None:
+        quad_n_theta = required
+    elif quad_n_theta < required:
+        raise ValueError(
+            f'quad_n_theta={quad_n_theta} under-resolves the ExpSO3 '
+            f'log-partition at maxl={maxl}: need >= {required} '
+            f'(so3_quadrature_order)')
     points, weights = gauss_legendre_sphere(quad_n_theta)
     dist0 = SO3Distribution(coefficients=coeffs, empty=empty,
                             log_z=jnp.zeros((batch, ), jnp.float32), beta=beta)

@@ -51,6 +51,26 @@ class TestSO3Distribution:
             np.testing.assert_allclose(integrate(dist, n_theta=40), 1.0,
                                        atol=5e-3)
 
+    def test_exp_so3_normalization_maxl6(self):
+        # --maxl above the validated 4 must derive a bigger quadrature, not
+        # silently reuse n_theta=24 (VERDICT r03 next #6): the derived order
+        # (so3_quadrature_order -> 36 at maxl=6) must normalize to ~1 against
+        # an independent finer grid.
+        rng = np.random.RandomState(7)
+        assert spherical.so3_quadrature_order(6) == 36
+        for beta in (-10.0, 10.0):
+            dist = spherical.make_so3_distribution(
+                random_alms(rng, maxl=6), empty=jnp.zeros(2, bool), beta=beta)
+            np.testing.assert_allclose(integrate(dist, n_theta=64), 1.0,
+                                       atol=5e-3)
+
+    def test_exp_so3_rejects_under_resolved_quadrature(self):
+        rng = np.random.RandomState(8)
+        with pytest.raises(ValueError, match='under-resolves'):
+            spherical.make_so3_distribution(
+                random_alms(rng, maxl=6), empty=jnp.zeros(2, bool),
+                beta=-10.0, quad_n_theta=24)
+
     def test_empty_is_uniform(self):
         rng = np.random.RandomState(2)
         dist = spherical.make_so3_distribution(
