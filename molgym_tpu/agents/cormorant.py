@@ -385,8 +385,26 @@ class CGLevelPacked(nn.Module):
         ag_r, ag_i = PackedCatMix(maxl=self.maxl, tau_out=self.tau_out,
                                   gain=1.0, pair_output=True,
                                   name='ag_mix')([(ag_kr, ag_ki, ag_slices)])
-        (sq_r, sq_i), sq_slices = cg_product_packed_ri(
-            ag_r, ag_i, ag_r, ag_i, n_ells, n_ells, self.maxl)
+        sq_backend = cg_mod.square_backend()
+        if sq_backend.startswith('pallas'):
+            # row kernel with n_j=1: the [rows, M*M] outer-product
+            # intermediate of the square stays in VMEM (cg_square_fused_ri);
+            # grouped tables compact the final contraction and emit the
+            # l1-major permuted K axis the idx-form slices describe
+            from molgym_tpu.ops.pallas_agg import cg_square_fused_ri
+            sq_table3, sq_slices = cg_mod._fused_cg_table(
+                n_ells, n_ells, self.maxl)
+            sq_grouped = cg_mod.fused_cg_table_grouped(
+                n_ells, n_ells, self.maxl)
+            if sq_grouped is not None:
+                sq_gtabs, sq_perm, sq_slices = sq_grouped
+                sq_grouped = (sq_gtabs, sq_perm)
+            sq_r, sq_i = cg_square_fused_ri(
+                ag_r, ag_i, sq_table3, grouped=sq_grouped,
+                interpret=sq_backend == 'pallas_interpret')
+        else:
+            (sq_r, sq_i), sq_slices = cg_product_packed_ri(
+                ag_r, ag_i, ag_r, ag_i, n_ells, n_ells, self.maxl)
         mm = m_slices(n_ells, self.maxl)
         out_r, out_i = PackedCatMix(
             maxl=self.maxl, tau_out=self.tau_out, gain=self.gain,

@@ -272,6 +272,25 @@ def aggregate_backend() -> str:
     return _AGG_BACKEND
 
 
+# Backend for the level's CG *square* (self product): the Pallas row kernel
+# keeps the [rows, M*M] outer-product intermediate in VMEM
+# (pallas_agg.cg_square_fused_ri) instead of materializing it in HBM like
+# the einsum path. 'auto' follows the aggregate backend.
+_SQUARE_BACKEND = 'auto'
+
+
+def set_square_backend(backend: str) -> None:
+    global _SQUARE_BACKEND
+    assert backend in ('auto', 'einsum', 'pallas', 'pallas_interpret')
+    _SQUARE_BACKEND = backend
+
+
+def square_backend() -> str:
+    if _SQUARE_BACKEND == 'auto':
+        return aggregate_backend()
+    return _SQUARE_BACKEND
+
+
 def cg_product(rep1: Sequence[jnp.ndarray], rep2: Sequence[jnp.ndarray],
                maxl: int) -> List[jnp.ndarray]:
     """Channel-wise CG tensor product of two SO3Vecs (cormorant CGProduct with

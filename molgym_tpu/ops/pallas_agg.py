@@ -78,9 +78,14 @@ def _pick_row_tile(rows: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
-                c_ref, out_r_ref, out_i_ref, *, n_j, m1, m2):
+                *c_and_out_refs, n_j, m1, m2, gspec):
     # e_* [R, n_j*m1] (j-major)  q_* [R, n_j*m2] (j-major)
-    # repm [m1, m1*m2]  tilem [m2, m1*m2]  c [m1*m2, K]  out_* [R, K]
+    # repm [m1, m1*m2]  tilem [m2, m1*m2]  out_* [R, K]
+    # c_and_out_refs: the CG table ref(s) — one dense [m1*m2, K] when gspec
+    # is None, else one compacted [w1*m2, K_g] per nonempty l1 group — then
+    # out_r_ref, out_i_ref.
+    c_refs = c_and_out_refs[:-2]
+    out_r_ref, out_i_ref = c_and_out_refs[-2:]
     rows = e_r_ref.shape[0]
     p = m1 * m2
     repm = repm_ref[:]
@@ -98,26 +103,46 @@ def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
         big_qi = jnp.dot(qi, tilem, preferred_element_type=jnp.float32)
         z_r = z_r + big_er * big_qr - big_ei * big_qi
         z_i = z_i + big_er * big_qi + big_ei * big_qr
-    c = c_ref[:]
-    out_r_ref[:] = jnp.dot(z_r, c, preferred_element_type=jnp.float32).astype(
-        out_r_ref.dtype)
-    out_i_ref[:] = jnp.dot(z_i, c, preferred_element_type=jnp.float32).astype(
-        out_i_ref.dtype)
+    # stacked (r, i) final contraction; per-l1 compacted group dots skip the
+    # dense table's structural zeros (same trick as the grouped kernels)
+    z_ri = jnp.concatenate([z_r, z_i], axis=0)
+    if gspec is None:
+        out = jnp.dot(z_ri, c_refs[0][:], preferred_element_type=jnp.float32)
+    else:
+        out = jnp.concatenate(
+            [jnp.dot(z_ri[:, a:b], c_ref[:],
+                     preferred_element_type=jnp.float32)
+             for (a, b, _ka, _kb), c_ref in zip(gspec, c_refs)], axis=1)
+    out_r_ref[:] = out[:rows].astype(out_r_ref.dtype)
+    out_i_ref[:] = out[rows:].astype(out_i_ref.dtype)
 
 
 def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
-                repm_t_ref, tilem_t_ref, ct_ref, g_r_ref, g_i_ref,
-                de_r_ref, de_i_ref, dq_r_ref, dq_i_ref, *, n_j, m1, m2):
-    # ct [K, m1*m2]  repm_t [m1*m2, m1]  tilem_t [m1*m2, m2]  g_* [R, K]
+                repm_t_ref, tilem_t_ref, *rest_refs, n_j, m1, m2, gspec):
+    # rest_refs: transposed CG table ref(s) — one dense [K, m1*m2] when gspec
+    # is None, else one [K_g, w1*m2] per nonempty group — then g_r_ref,
+    # g_i_ref, de_r_ref, de_i_ref, dq_r_ref, dq_i_ref.
+    # repm_t [m1*m2, m1]  tilem_t [m1*m2, m2]  g_* [R, K]
+    ct_refs = rest_refs[:-6]
+    (g_r_ref, g_i_ref, de_r_ref, de_i_ref,
+     dq_r_ref, dq_i_ref) = rest_refs[-6:]
     repm = repm_ref[:]
     tilem = tilem_ref[:]
     repm_t = repm_t_ref[:]
     tilem_t = tilem_t_ref[:]
-    ct = ct_ref[:]
     g_r = g_r_ref[:].astype(jnp.float32)
     g_i = g_i_ref[:].astype(jnp.float32)
-    dz_r = jnp.dot(g_r, ct, preferred_element_type=jnp.float32)
-    dz_i = jnp.dot(g_i, ct, preferred_element_type=jnp.float32)
+    rows = g_r.shape[0]
+    g_ri = jnp.concatenate([g_r, g_i], axis=0)
+    if gspec is None:
+        dz_ri = jnp.dot(g_ri, ct_refs[0][:],
+                        preferred_element_type=jnp.float32)
+    else:
+        dz_ri = jnp.concatenate(
+            [jnp.dot(g_ri[:, ka:kb], ct_ref[:],
+                     preferred_element_type=jnp.float32)
+             for (_a, _b, ka, kb), ct_ref in zip(gspec, ct_refs)], axis=1)
+    dz_r, dz_i = dz_ri[:rows], dz_ri[rows:]
     for j in range(n_j):
         er = e_r_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
         ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
@@ -164,22 +189,41 @@ def _full_spec(shape):
 
 @functools.lru_cache(maxsize=None)
 def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
-                 tile: int, interpret: bool):
-    cflat = np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k)
+                 tile: int, interpret: bool, group_key=None):
+    # group_key: None (dense final contraction) or a tuple of
+    # (l1, shape, bytes) per nonempty l1 group (cg.fused_cg_table_grouped) —
+    # the output K axis is then PERMUTED l1-major, matching the grouped
+    # kernels' contract.
+    if group_key is None:
+        gspec = None
+        cgs = (np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k), )
+    else:
+        gspec, cgs = [], []
+        ka = 0
+        for l1, shape, raw in group_key:
+            sub = np.frombuffer(raw, np.float32).reshape(shape)
+            gspec.append((l1 * l1 * m2, (l1 + 1) * (l1 + 1) * m2,
+                          ka, ka + shape[1]))
+            cgs.append(sub)
+            ka += shape[1]
+        assert ka == k, (ka, k)
+        gspec = tuple(gspec)
     # pair index p = m*m2 + n:  repm expands e over n, tilem tiles q over m.
     repm = np.kron(np.eye(m1, dtype=np.float32),
                    np.ones((1, m2), np.float32))
     tilem = np.kron(np.ones((1, m1), np.float32),
                     np.eye(m2, dtype=np.float32))
-    tables_f = (repm, tilem, cflat)
-    tables_b = (repm, tilem, repm.T.copy(), tilem.T.copy(), cflat.T.copy())
+    tables_f = (repm, tilem) + tuple(cgs)
+    tables_b = (repm, tilem, repm.T.copy(), tilem.T.copy()) + tuple(
+        np.ascontiguousarray(c.T) for c in cgs)
 
     def run_fwd(e_r, e_i, q_r, q_i):
         rows = e_r.shape[0]
         pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i)]
         rp = rows + pad
-        kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2)
+        kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
+                                   gspec=gspec)
         out_r, out_i = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, k), e_r.dtype),
@@ -198,7 +242,8 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
         pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i, g_r, g_i)]
         rp = rows + pad
-        kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2)
+        kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
+                                   gspec=gspec)
         outs = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, n_j * m1), e_r.dtype),
@@ -603,6 +648,46 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
         out_r = jnp.take(out_r, perm, axis=-1)
         out_i = jnp.take(out_i, perm, axis=-1)
     return (out_r, out_i)
+
+
+def cg_square_fused_ri(a_r: jnp.ndarray, a_i: jnp.ndarray,
+                       table3: np.ndarray, grouped=None,
+                       interpret: bool = False):
+    """CG self-product (the level's "CG square", cormorant CGProduct of a rep
+    with itself, no neighbor aggregation) as the row kernel with n_j=1.
+
+    The einsum path (ops/cg.py::cg_product_packed_ri) materializes two
+    [..., tau, M, M] outer-product tensors in HBM per level (~49 MB per
+    direction at SF6 batch-140 shapes) purely as contraction intermediates;
+    here z = a (x) a lives only in VMEM and the kernel emits the contracted
+    K form directly.
+
+    a_r/a_i  [..., tau, M] packed rep (complex parts separate)
+    table3   [M, M, K] combined CG table (cg._fused_cg_table(n, n, maxl))
+    grouped  optional (tables, perm) from cg.fused_cg_table_grouped(n, n,
+             maxl): per-l1 compacted final contraction, K axis PERMUTED
+             l1-major — consume with the matching idx-form slices.
+    returns (out_r, out_i), each [..., tau, K].
+    """
+    m1 = a_r.shape[-1]
+    k = table3.shape[-1]
+    batch = a_r.shape[:-1]
+    rows = int(np.prod(batch))
+    table_bytes = np.ascontiguousarray(table3, np.float32).tobytes()
+    group_key = None
+    if grouped is not None:
+        gtabs, _perm = grouped
+        group_key = tuple(
+            (l1, t.shape, np.ascontiguousarray(t, np.float32).tobytes())
+            for l1, t in enumerate(gtabs) if t.shape[1])
+    e_r = a_r.reshape(rows, m1)
+    e_i = a_i.reshape(rows, m1)
+    fused = _make_row_fn(1, m1, m1, k, table_bytes, _pick_row_tile(rows),
+                         interpret, group_key)
+    # the same array enters as both operands; JAX accumulates the custom
+    # VJP's de + dq cotangents automatically
+    out_r, out_i = fused(e_r, e_i, e_r, e_i)
+    return out_r.reshape(batch + (k, )), out_i.reshape(batch + (k, ))
 
 
 def cg_aggregate_edge_fused(sph_packed: jnp.ndarray, rad_feats: jnp.ndarray,

@@ -482,3 +482,54 @@ class TestFusedAggregateKernel:
                                    atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestCGSquarePallas:
+    """cg_square_fused_ri (row kernel, n_j=1): the level's CG self-product
+    without the HBM outer-product intermediates (VERDICT r03 next #2 —
+    fold the CG-square chain into kernels)."""
+
+    @pytest.mark.parametrize('grouped', [False, True])
+    def test_matches_einsum_square(self, grouped):
+        from molgym_tpu.ops import pallas_agg
+        from molgym_tpu.ops.cg import (_fused_cg_table, cg_product_packed_ri,
+                                       fused_cg_table_grouped)
+        maxl, B, N, tau = 4, 2, 4, 5
+        n_ells = maxl + 1
+        m = n_ells ** 2
+        rng = np.random.RandomState(11)
+        a_r = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
+        a_i = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
+        table3, _sl = _fused_cg_table(n_ells, n_ells, maxl)
+        g = None
+        perm = None
+        if grouped:
+            gtabs, perm, _si = fused_cg_table_grouped(n_ells, n_ells, maxl)
+            g = (gtabs, perm)
+
+        def via_einsum(ar, ai):
+            (r, i), _ = cg_product_packed_ri(ar, ai, ar, ai, n_ells, n_ells,
+                                             maxl)
+            if perm is not None:
+                r, i = r[..., jnp.asarray(perm)], i[..., jnp.asarray(perm)]
+            return jnp.stack([r, i], -1)
+
+        def via_pallas(ar, ai):
+            r, i = pallas_agg.cg_square_fused_ri(ar, ai, table3, grouped=g,
+                                                 interpret=True)
+            return jnp.stack([r, i], -1)
+
+        ref = via_einsum(a_r, a_i)
+        out = via_pallas(a_r, a_i)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+        # gradients: the same array enters as both product operands; the
+        # custom VJP's de + dq must accumulate exactly like einsum autodiff
+        cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+        ge = jax.grad(lambda r_, i_: jnp.sum(via_einsum(r_, i_) * cot),
+                      argnums=(0, 1))(a_r, a_i)
+        gp = jax.grad(lambda r_, i_: jnp.sum(via_pallas(r_, i_) * cot),
+                      argnums=(0, 1))(a_r, a_i)
+        for a, b in zip(ge, gp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-4, rtol=3e-4)
