@@ -56,6 +56,18 @@ def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(config.gradient_clip), adam)
 
 
+def host_fetch(tree):
+    """Pytree of jax arrays -> host numpy. Under multi-process SPMD
+    (--multihost) rollout arrays are sharded over a global mesh and span
+    devices other processes own — np.asarray/device_get on them raises;
+    process_allgather(tiled=True) reassembles the full global value on every
+    host instead (each process contributes its addressable shards)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
 def make_loss_fn(agent, config: PPOConfig) -> Callable:
     def loss_fn(params, obs, act, old_logp, adv, ret, weights):
         logp, ent, v = agent.apply(params, obs, act, method=agent.evaluate)
@@ -312,8 +324,10 @@ def batch_ppo(
                      if hasattr(rollout_fn, 'current_transport') else None)
         states, traj = rollout_fn(params, states, key)
         traj = jax.block_until_ready(traj)
-        returns, lengths = episode_stats(np.asarray(traj.rewards),
-                                         np.asarray(traj.terminals), config.gamma)
+        traj_host = host_fetch(traj)  # global value on every process
+        returns, lengths = episode_stats(np.asarray(traj_host.rewards),
+                                         np.asarray(traj_host.terminals),
+                                         config.gamma)
         train_info = {
             'time': time.time() - t0,
             # wall time spent inside the host reward evaluator this rollout
@@ -333,10 +347,10 @@ def batch_ppo(
 
         if info_saver:
             train_info['total_num_steps'] = total_num_steps
-            train_info.update(buffer_stats(traj))
+            train_info.update(buffer_stats(traj_host))
             info_saver.save(train_info, name='train')
         if rollout_saver and save_train_rollout:
-            rollout_saver.save(jax.device_get(traj), num_steps=total_num_steps,
+            rollout_saver.save(traj_host, num_steps=total_num_steps,
                                info='train')
 
         # -- optimize
@@ -365,7 +379,15 @@ def batch_ppo(
         if eval_rollout_fn is not None and (
                 iteration % eval_freq == 0 or iteration == num_iterations - 1):
             rng, key = jax.random.split(rng)
-            eval_states, eval_traj = eval_rollout_fn(params, eval_states, key)
+            eval_params = params
+            if mesh is not None and jax.process_count() > 1:
+                # eval states/programs are process-local, but params live on
+                # the global mesh — pull the (replicated) values to host and
+                # rehome them locally so the eval jit stays single-process.
+                eval_params = jax.device_put(jax.device_get(params),
+                                             jax.local_devices()[0])
+            eval_states, eval_traj = eval_rollout_fn(eval_params, eval_states,
+                                                     key)
             e_returns, e_lengths = episode_stats(
                 np.asarray(eval_traj.rewards), np.asarray(eval_traj.terminals),
                 config.gamma)

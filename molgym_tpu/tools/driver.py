@@ -140,9 +140,18 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     rank = None
     if config.get('multihost'):
         # Multi-host SPMD: one process per host, mesh spans all hosts'
-        # devices (ICI within a slice, DCN across slices). Coordinator
-        # address etc. come from the cluster environment.
-        jax.distributed.initialize()
+        # devices (ICI within a slice, DCN across slices). On TPU pods /
+        # Slurm / OpenMPI the coordinator is auto-detected; generic launchers
+        # export it via MOLGYM_COORDINATOR_ADDRESS / MOLGYM_NUM_PROCESSES /
+        # MOLGYM_PROCESS_ID (used by the 2-process CPU smoke test).
+        dist_kwargs = {}
+        addr = os.environ.get('MOLGYM_COORDINATOR_ADDRESS')
+        if addr:
+            dist_kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ['MOLGYM_NUM_PROCESSES']),
+                process_id=int(os.environ['MOLGYM_PROCESS_ID']))
+        jax.distributed.initialize(**dist_kwargs)
         rank = jax.process_index()
         logging.info(f'jax.distributed initialized: process {rank} of '
                      f'{jax.process_count()}')

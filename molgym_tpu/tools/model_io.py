@@ -140,7 +140,22 @@ class ModelIO:
         self.old_path: Optional[str] = None
         self._steps_string = '_steps-'
         self._suffix = '.model'
-        self._checkpointer = ocp.StandardCheckpointer()
+        import jax
+        self._per_process = jax.process_count() > 1
+        if self._per_process:
+            # Multi-process (--multihost): each rank saves its own full copy
+            # of the (replicated) state to its own model_dir. The default
+            # collective save would cross-match orbax barrier keys between
+            # the ranks' independent saves to different directories;
+            # primary_host=None makes every process its own primary with no
+            # cross-process coordination (leaves are fetched to host numpy
+            # in save()).
+            self._checkpointer = ocp.Checkpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=None))
+        else:
+            self._checkpointer = ocp.StandardCheckpointer()
 
     def _get_model_dirname(self, num_steps: int) -> str:
         return f'{self.tag}{self._steps_string}{num_steps}{self._suffix}'
@@ -174,10 +189,16 @@ class ModelIO:
         state = {'params': params}
         if opt_state is not None:
             state['opt_state'] = opt_state
+        if self._per_process:
+            # Replicated global arrays are host-fetchable on every process;
+            # numpy leaves keep the per-process save coordination-free.
+            import jax
+            state = jax.tree.map(np.asarray, state)
         if os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
         self._checkpointer.save(path, state)
-        self._checkpointer.wait_until_finished()
+        if hasattr(self._checkpointer, 'wait_until_finished'):
+            self._checkpointer.wait_until_finished()  # sync ckptr: no-op
         self.old_path = path
         return path
 

@@ -251,3 +251,68 @@ class TestMultihost:
                 np.testing.assert_allclose(a, b, atol=1e-4)
             assert float(data['loss']) == pytest.approx(
                 float(np.asarray(ref_info['total_loss'])), abs=1e-4)
+
+    def test_two_process_driver_multihost_smoke(self, tmp_path):
+        """VERDICT r03 next #7: the REAL driver path under --multihost — env
+        creation, checkpointing, and rank-tagged rollout artifacts across 2
+        jax.distributed processes (2 CPU devices each, global 4-way dp mesh)
+        via scripts/run.py, not just the mesh iteration function."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        data_dir = tmp_path / 'data'  # shared: filenames are rank-tagged
+        procs = []
+        for proc_id in range(2):
+            env_vars = dict(os.environ)
+            env_vars['JAX_PLATFORMS'] = 'cpu'
+            env_vars['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+            env_vars.pop('JAX_NUM_PROCESSES', None)
+            env_vars.pop('PALLAS_AXON_POOL_IPS', None)
+            env_vars['PYTHONPATH'] = repo_root + os.pathsep + env_vars.get(
+                'PYTHONPATH', '')
+            env_vars['MOLGYM_COORDINATOR_ADDRESS'] = f'localhost:{port}'
+            env_vars['MOLGYM_NUM_PROCESSES'] = '2'
+            env_vars['MOLGYM_PROCESS_ID'] = str(proc_id)
+            rank_dir = tmp_path / f'rank{proc_id}'
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(repo_root, 'scripts', 'run.py'),
+                 '--name=mh_smoke', '--formulas=O2', '--symbols=X,O',
+                 '--canvas_size=3', '--bag_scale=3', '--reward=device_lj',
+                 '--model=mlp', '--network_width=16', '--device=cpu',
+                 '--num_devices=4', '--multihost', '--num_envs=4',
+                 '--num_steps=16', '--num_steps_per_iter=8',
+                 '--mini_batch_size=4', '--max_num_train_iters=2',
+                 '--eval_freq=1', '--save_freq=1', '--save_rollouts=eval',
+                 '--seed=1',
+                 f'--log_dir={rank_dir}/logs', f'--model_dir={rank_dir}/models',
+                 f'--results_dir={rank_dir}/results', f'--data_dir={data_dir}'],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env_vars, cwd=str(tmp_path), text=True))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'rank {i} failed:\n{out}'
+            assert 'jax.distributed initialized: process ' + str(i) in out
+
+        # rank-tagged rollout artifacts from BOTH processes in the shared
+        # data dir (tools/analysis.py parses the _rank-N suffix; reference
+        # tools/analysis.py:17,25)
+        names = [f.name for f in data_dir.iterdir()]
+        for rank in range(2):
+            tagged = [n for n in names if f'_rank-{rank}_' in n
+                      and n.endswith('.pkl')]
+            assert tagged, f'no rank-{rank} artifacts in {names}'
+        # checkpoints + metric streams written under each rank's own dirs
+        for rank in range(2):
+            rank_dir = tmp_path / f'rank{rank}'
+            assert any((rank_dir / 'models').iterdir())
+            assert (rank_dir / 'results' / 'mh_smoke_run-1_eval.txt').exists()
