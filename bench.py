@@ -372,22 +372,37 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
         finally:
             set_aggregate_backend('auto')
 
+    # Headline robustness markers first (free): was the persistent cache warm
+    # for the headline program, and what does an immediate re-measurement of
+    # the SAME compiled program read (host-load variance is ~1 ms on the
+    # tunneled chip — VERDICT r03 weak #3 / next #8).
+    extras['cache_warm'] = bool(compile_s < 10.0)
+    extras['headline_compile_s'] = round(compile_s, 1)
+    try:
+        extras['ms_headline_rerun'] = round(
+            time_grad(grad_fn140, params140, iters=30), 3)
+    except Exception as exc:
+        log(f'headline rerun failed: {exc!r}')
+
     guard('mfu_est_pct', mfu140, est_s=120)  # CPU lowering, no TPU compile
+    # The flagship architecture claim (host-QM reward pipeline, SURVEY §7
+    # hard-part 3) runs FIRST among the TPU extras — it missed the official
+    # record in r02+r03 because cheaper extras drained the budget before it
+    # (VERDICT r03 next #1). The rollout TPU programs are backend-agnostic
+    # (the QM happens host-side), so EHT/auto reuse the PM6 compiles.
+    guard('env_steps_per_sec_pm6',
+          lambda: round(bench_env_steps_qm(True, 'PM6'), 1), est_s=c + 120)
+    guard('auto_transport_pm6', lambda: bench_auto_transport('PM6'),
+          est_s=c + 90)  # compiles the serial program; A/B reps are cheap
+    guard('env_steps_per_sec_eht',
+          lambda: round(bench_env_steps_qm(True, 'EHT'), 1), est_s=60)
+    guard('env_steps_per_sec_eht_serial',
+          lambda: round(bench_env_steps_qm(False, 'EHT'), 1), est_s=60)
+    guard('auto_transport_eht', lambda: bench_auto_transport('EHT'),
+          est_s=90)
     guard('ms_bf16', bf16, est_s=c + 60)
     guard('ms_internal_agent', internal_agent, est_s=c + 60)
     guard('ms_einsum_agg', einsum_agg, est_s=c + 60)
-    guard('env_steps_per_sec_eht',
-          lambda: round(bench_env_steps_qm(True, 'EHT'), 1), est_s=c + 90)
-    guard('env_steps_per_sec_eht_serial',
-          lambda: round(bench_env_steps_qm(False, 'EHT'), 1), est_s=c + 90)
-    guard('env_steps_per_sec_pm6',
-          lambda: round(bench_env_steps_qm(True, 'PM6'), 1), est_s=c + 120)
-    # transport 'auto' picks per reward backend (programs shared with the
-    # env-steps extras above, so these mostly reuse compiled code)
-    guard('auto_transport_eht', lambda: bench_auto_transport('EHT'),
-          est_s=120)
-    guard('auto_transport_pm6', lambda: bench_auto_transport('PM6'),
-          est_s=180)
     guard('ms_batch_2240', batch_2240, est_s=2 * c + 120)
     if skipped:
         extras['skipped'] = skipped
