@@ -1,0 +1,121 @@
+"""PM6-vs-Sparrow reward-surface divergence bounds per experiment family.
+
+The native PM6 backend reproduces the reference's 13 Sparrow golden values to
+~1e-8 Ha (tests/test_nddo.py), but the S d-shell and the anchor-fit diatomic
+constants are in-tree calibrations (experiments/pm6_anchor_fit/README.md), so
+rewards on molecules built from those bonds diverge from Sparrow-PM6 by an
+amount bounded by the calibration's anchor residuals (model-optimal vs
+experimental atomization energy — PM6 itself is fit to the same experimental
+thermochemistry, so the residual vs experiment bounds the reachable
+divergence vs any PM6 implementation of the same bonds).
+
+This script turns that bound into per-step reward numbers for every
+committed PM6 experiment family (VERDICT r03 next #4): an episode that
+builds an n-atom molecule accrues its atomization energy over n-1
+reward-bearing placements (the first atom's reward is identically zero,
+envs/reward.py InteractionReward semantics, reference reward.py:22-34), so
+the molecule-level residual divided by n-1 bounds the mean per-step delta.
+
+Output: the markdown table committed in PARITY.md §"PM6 divergence bounds"
+(regenerate with `python scripts/pm6_divergence_bounds.py`).
+"""
+from __future__ import annotations
+
+import math
+
+KCAL_PER_HA = 627.5094740631
+
+# Anchor residuals |model - experiment| in kcal/mol at model-optimal
+# geometries, from experiments/pm6_anchor_fit/README.md ("after fit" column
+# vs experiment). Exact-fit anchors carry the fit's convergence slack
+# (<0.1 kcal/mol) rather than literal zero.
+ANCHOR_RESIDUAL_KCAL = {
+    'O2': 65.8,     # golden-pinned O sp block overbinds O=O; unreachable
+                    # from pair constants under the alpha>=2 locality bound
+    'F2': 0.1,
+    'H2S': 8.8,
+    'SO2': 35.6,
+    'SF6': 19.4,
+    'SF4': 13.6,
+    'HCl': 6.8,
+    'Cl2': 0.1,
+    'CH3Cl': 6.2,
+    'HBr': 0.1,
+    'Br2': 0.1,
+    'CH3Br': 0.1,
+}
+
+# Committed experiment families -> the molecules their terminal greedy
+# canvases actually build (verified in each family's README) and the
+# epistemic class of every bond involved.
+#   golden  — H/C/N/O one-center blocks + H-H/O-H pairs pinned to the 13
+#             Sparrow goldens (<=1e-8 Ha; tests/test_nddo.py)
+#   anchor  — bond runs through an anchor-fit pair (residual above)
+#   recall  — recalled published-table pair with neither golden nor anchor
+#             coverage on this image (no in-image bound; flagged)
+FAMILIES = [
+    ('sf6_pm6', 'SF6', 7, ['SF6'], 'anchor (S-F via SF6+SF4 joint fit)'),
+    ('sf6_bf16', 'SF6', 7, ['SF6'], 'anchor (same surface, bf16 encoder)'),
+    ('sf6_internal_pm6', 'SF6', 7, ['SF6'], 'anchor (same surface, SchNet '
+                                            'agent)'),
+    ('halides_pm6', 'CH3Cl', 5, ['CH3Cl'], 'anchor (C-Cl) + recall (C-H)'),
+    ('halides_pm6', 'CH3Br', 5, ['CH3Br'], 'anchor (C-Br) + recall (C-H)'),
+    ('organics_pm6', 'CH3NO', 6, [], 'golden blocks + recall pairs '
+                                     '(C-H/C-N/C-O/N-H): no in-image bound'),
+    ('organics_pm6', 'C2H2O2', 6, [], 'golden blocks + recall pairs '
+                                      '(C-C/C-H/C-O): no in-image bound'),
+    ('stochastic_pm6', 'C2H6O bags', 9, [], 'golden blocks + recall pairs '
+                                            '(C-C/C-H/C-O): no in-image '
+                                            'bound'),
+    ('solvation_pm6', 'H2O shell around CO', 3, [], 'golden (O-H/H-H '
+                                                    'intramolecular); '
+                                                    'nonbonded note below'),
+    ('scaffold_pm6', 'H2O in scaffold', 3, [], 'golden (O-H/H-H); '
+                                               'nonbonded note below'),
+    ('qm9_pm6', 'QM9 HCNOF bags', None, [], 'golden blocks + recall pairs: '
+                                            'no in-image bound'),
+]
+
+
+def fitted_oo_nonbonded_correction_kcal(r_ang: float) -> float:
+    """Magnitude of the anchor-fit O-O core-core correction term at a
+    NONBONDED distance (water-water O...O in the solvation families):
+    Z_O^2 * gamma_ss(R) * x * exp(-alpha (R + 3e-4 R^6)). The alpha >= 2
+    locality bound exists precisely to keep this small (anchor-fit README).
+    """
+    from molgym_tpu.calculators.nddo_ref import (PM6_PAIR_PARAMS, PM6_PARAMS,
+                                                 klopman_rhos)
+    alpha, x = PM6_PAIR_PARAMS[(8, 8)]
+    par = PM6_PARAMS[8]
+    rho0 = klopman_rhos(par)[0]
+    r_bohr = r_ang / 0.529177210903
+    gamma = 1.0 / math.sqrt(r_bohr ** 2 + (2 * rho0) ** 2)  # ss Klopman, Ha
+    corr_ha = (par.zval ** 2) * gamma * x * math.exp(
+        -alpha * (r_ang + 0.0003 * r_ang ** 6))
+    return corr_ha * KCAL_PER_HA
+
+
+def main() -> None:
+    print('| family | builds | anchor residual (kcal/mol) | reward steps | '
+          'per-step bound (Ha) | bond classes |')
+    print('|---|---|---|---|---|---|')
+    for family, molecule, n_atoms, anchors, classes in FAMILIES:
+        if anchors:
+            resid = max(ANCHOR_RESIDUAL_KCAL[a] for a in anchors)
+            steps = n_atoms - 1
+            bound = resid / KCAL_PER_HA / steps
+            print(f'| {family} | {molecule} | {resid:.1f} ({"+".join(anchors)}) '
+                  f'| {steps} | {bound:.4f} | {classes} |')
+        else:
+            steps = '-' if n_atoms is None else n_atoms - 1
+            print(f'| {family} | {molecule} | - | {steps} | '
+                  f'golden <=1e-8; recall unbounded | {classes} |')
+    print()
+    for r in (2.7, 3.0):
+        print(f'Nonbonded O···O fitted-pair correction at {r:.1f} Å: '
+              f'{fitted_oo_nonbonded_correction_kcal(r):.2f} kcal/mol '
+              f'({fitted_oo_nonbonded_correction_kcal(r) / KCAL_PER_HA:.5f} Ha)')
+
+
+if __name__ == '__main__':
+    main()

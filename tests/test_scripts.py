@@ -18,6 +18,7 @@ def load_script(name: str):
     path = os.path.join(SCRIPTS_DIR, name + '.py')
     spec = importlib.util.spec_from_file_location(f'script_{name}', path)
     module = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = module
     spec.loader.exec_module(module)
     return module
 
@@ -116,3 +117,77 @@ class TestStructuresMain:
             f'--output={tmp_path / "out.xyz"}', '--name=zzz'])
         with pytest.raises(RuntimeError, match='No terminal structures'):
             structures.main()
+
+
+class TestVerifyVsSparrow:
+    def test_import_gated_path(self, capsys):
+        """Without scine the script must explain itself and exit 2 (the only
+        path runnable on this image; the scine path is the documented
+        contract for hosts that can close the PARITY divergence loop)."""
+        mod = load_script('verify_vs_sparrow')
+        rc = mod.main()
+        out = capsys.readouterr().out
+        try:
+            from molgym_tpu.calculators.sparrow import SPARROW_AVAILABLE
+        except Exception:
+            SPARROW_AVAILABLE = False
+        if SPARROW_AVAILABLE:
+            assert rc == 0
+            assert 'golden set' in out
+        else:
+            assert rc == 2
+            assert 'not installed' in out
+
+    def test_divergence_bounds_table(self, capsys):
+        """The PARITY.md bounds table generator runs and reproduces the
+        committed SF6 per-step bound."""
+        mod = load_script('pm6_divergence_bounds')
+        mod.main()
+        out = capsys.readouterr().out
+        assert '| sf6_pm6 | SF6 | 19.4 (SF6) | 6 | 0.0052 |' in out
+        assert 'Nonbonded' in out
+
+
+class TestRunQM9:
+    def test_formula_selection_deterministic(self):
+        mod = load_script('run_qm9')
+        tar = os.path.join(SCRIPTS_DIR, os.pardir, 'experiments', 'qm9_pm6',
+                           'qm9_sample.tar.gz')
+        got = mod.select_qm9_formulas(tar, 'X,H,C,N,O,F', 7, 4, 0)
+        assert got == mod.select_qm9_formulas(tar, 'X,H,C,N,O,F', 7, 4, 0)
+        assert len(got) == 4
+        # every selection fits the canvas and the symbol set
+        from molgym_tpu.formula import get_formula_size, string_to_formula
+        for f in got:
+            assert get_formula_size(string_to_formula(f)) <= 7
+        # excluded-element filter: no F in the symbol set -> no CFH3
+        no_f = mod.select_qm9_formulas(tar, 'X,H,C,N,O', 7, 99, 0)
+        assert all('F' not in f for f in no_f)
+        with pytest.raises(RuntimeError, match='no QM9 molecules'):
+            mod.select_qm9_formulas(tar, 'X,H', 2, 4, 0)
+
+    @pytest.mark.slow
+    def test_end_to_end_cpu(self, tmp_path, monkeypatch):
+        """The parser feeds run_experiment end to end (VERDICT r03 next #3):
+        tiny multi-bag run on the committed QM9 sample, CPU + device_lj."""
+        mod = load_script('run_qm9')
+        tar = os.path.join(SCRIPTS_DIR, os.pardir, 'experiments', 'qm9_pm6',
+                           'qm9_sample.tar.gz')
+        monkeypatch.setattr(sys, 'argv', [
+            'run_qm9.py', '--name=qm9smoke', f'--qm9_dataset={tar}',
+            '--qm9_num_formulas=2', '--canvas_size=5', '--symbols=X,H,C,N,O,F',
+            '--bag_scale=3',
+            '--reward=device_lj', '--model=mlp', '--network_width=16',
+            '--device=cpu', '--num_envs=4', '--num_steps=16',
+            '--num_steps_per_iter=8', '--mini_batch_size=4',
+            '--max_num_train_iters=2', '--eval_freq=1', '--save_freq=1',
+            '--seed=1',
+            f'--log_dir={tmp_path}/logs', f'--model_dir={tmp_path}/models',
+            f'--results_dir={tmp_path}/results', f'--data_dir={tmp_path}/data'])
+        mod.main()
+        # the sampled formulas are recorded in the config snapshot
+        with open(tmp_path / 'logs' / 'qm9smoke_run-1.json') as f:
+            config = json.load(f)
+        formulas = config['formulas'].split(',')
+        assert len(formulas) == 2
+        assert (tmp_path / 'results' / 'qm9smoke_run-1_eval.txt').exists()
