@@ -79,8 +79,10 @@ def build_grad_fn(batch, encoder_dtype=None):
     from molgym_tpu.ops import cg as cg_mod
     saved_backend = cg_mod.aggregate_backend()
     saved_cg = cg_mod._CG_BACKEND
+    saved_sq = cg_mod._SQUARE_BACKEND
     cg_mod.set_aggregate_backend('einsum')
     cg_mod.set_cg_backend('einsum')
+    cg_mod.set_square_backend('einsum')
     with jax.default_device(jax.devices('cpu')[0]):
         obs_cpu = Observation(elements=jnp.asarray(elements),
                               positions=jnp.asarray(positions),
@@ -91,6 +93,7 @@ def build_grad_fn(batch, encoder_dtype=None):
                               method=agent.act).action_flat
     cg_mod.set_aggregate_backend(saved_backend)
     cg_mod.set_cg_backend(saved_cg)
+    cg_mod.set_square_backend(saved_sq)
     dev = jax.devices()[0]
     obs = jax.device_put(obs_cpu, dev)
     params = jax.device_put(params, dev)
@@ -249,6 +252,10 @@ def main():
                     help='encoder compute dtype')
     ap.add_argument('--cg', choices=['einsum', 'pallas'], default='einsum',
                     help='backend for the elementwise CG product')
+    ap.add_argument('--square', choices=['auto', 'einsum', 'pallas'],
+                    default='auto',
+                    help="backend for the level CG square ('auto' follows "
+                         '--agg)')
     args = ap.parse_args()
     if args.agg != 'einsum':
         from molgym_tpu.ops.cg import set_aggregate_backend
@@ -256,6 +263,9 @@ def main():
     if args.cg != 'einsum':
         from molgym_tpu.ops.cg import set_cg_backend
         set_cg_backend(args.cg)
+    if args.square != 'auto':
+        from molgym_tpu.ops.cg import set_square_backend
+        set_square_backend(args.square)
 
     from molgym_tpu.tools.util import enable_compile_cache
     enable_compile_cache()

@@ -394,13 +394,13 @@ class CGLevelPacked(nn.Module):
             from molgym_tpu.ops.pallas_agg import cg_square_fused_ri
             sq_table3, sq_slices = cg_mod._fused_cg_table(
                 n_ells, n_ells, self.maxl)
-            sq_grouped = cg_mod.fused_cg_table_grouped(
-                n_ells, n_ells, self.maxl)
-            if sq_grouped is not None:
-                sq_gtabs, sq_perm, sq_slices = sq_grouped
-                sq_grouped = (sq_gtabs, sq_perm)
+            # tri fold: the self product's z is symmetric, so the kernel
+            # computes only the M(M+1)/2 tri pair lanes (half the expansion
+            # width and table rows of the l1-grouped dense-pair form)
+            sq_pairs, sq_groups, _sq_perm, sq_slices = (
+                cg_mod.fused_cg_table_tri(n_ells, self.maxl))
             sq_r, sq_i = cg_square_fused_ri(
-                ag_r, ag_i, sq_table3, grouped=sq_grouped,
+                ag_r, ag_i, sq_table3, tri=(sq_pairs, sq_groups),
                 interpret=sq_backend == 'pallas_interpret')
         else:
             (sq_r, sq_i), sq_slices = cg_product_packed_ri(

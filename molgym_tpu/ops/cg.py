@@ -193,6 +193,73 @@ def fused_cg_table_grouped(n_ells1: int, n_ells2: int, maxl: int):
     return tables, perm, tuple(slices_idx)
 
 
+@lru_cache(maxsize=None)
+def fused_cg_table_tri(n_ells: int, maxl: int):
+    """Triangular fold of the SQUARE's fused CG table (self product a⊗a).
+
+    Both parts of z[m, n] = a_m a_n are symmetric in (m, n) for the self
+    product (z_r = ar⊗ar − ai⊗ai, z_i = ar⊗ai + ai⊗ar), so the kernel only
+    needs the M(M+1)/2 tri pairs m ≤ n instead of all M²:
+    C_tri[(m, n), k] = C[m, n, k] + C[n, m, k] for m < n, C[m, m, k] on the
+    diagonal — the contraction Σ_{mn} z C is unchanged. Tri pairs in m-major
+    order are automatically contiguous per m-block (flat index order respects
+    block order), and column k of ordered blocks (l1, l2) folds into group
+    min(l1, l2) — the final contraction groups by lmin with compacted columns
+    exactly like fused_cg_table_grouped, reusing its permuted-K consumer
+    contract (PackedCatMix idx-form slices).
+
+    Returns (pairs, groups, perm, slices_idx):
+      pairs       int32 [P, 2] tri (m, n) pairs, m-major
+      groups      tuple per lmin of (row_a, row_b, table float32 [P_g, K_g])
+                  — empty column groups kept so group index == lmin
+      perm        int [K] grouped position -> original column
+      slices_idx  per output l: (idx tuple, n_pairs) consumer slices
+    """
+    table, slices = _fused_cg_table(n_ells, n_ells, maxl)
+    m_tot, _, k_tot = table.shape
+    off1 = np.cumsum([0] + [2 * l + 1 for l in range(n_ells)])
+    block = np.searchsorted(off1, np.arange(m_tot), side='right') - 1
+
+    pairs = np.array([(m, n) for m in range(m_tot) for n in range(m, m_tot)],
+                     np.int32)
+    folded = table[pairs[:, 0], pairs[:, 1], :].copy()
+    off_diag = pairs[:, 0] != pairs[:, 1]
+    folded[off_diag] += table[pairs[off_diag, 1], pairs[off_diag, 0], :]
+
+    # column -> lmin group, from the same block enumeration as _fused_cg_table
+    col_lmin = np.zeros(k_tot, np.int64)
+    k = 0
+    for l in range(maxl + 1):
+        for l1 in range(n_ells):
+            for l2 in range(n_ells):
+                if abs(l1 - l2) <= l <= l1 + l2:
+                    col_lmin[k:k + 2 * l + 1] = min(l1, l2)
+                    k += 2 * l + 1
+    assert k == k_tot
+
+    row_block = block[pairs[:, 0]]  # tri rows group by the m block
+    groups = []
+    for lmin in range(n_ells):
+        rows = np.flatnonzero(row_block == lmin)
+        a, b = (int(rows[0]), int(rows[-1]) + 1) if len(rows) else (0, 0)
+        cols = np.flatnonzero(col_lmin == lmin)
+        groups.append((a, b, np.ascontiguousarray(folded[a:b][:, cols],
+                                                  np.float32)))
+    perm = np.concatenate([np.flatnonzero(col_lmin == g)
+                           for g in range(n_ells)]).astype(np.int64)
+    inv = np.empty(k_tot, np.int64)
+    inv[perm] = np.arange(k_tot)
+
+    slices_idx = []
+    for l in range(maxl + 1):
+        off, n_pairs = slices[l]
+        width = 2 * l + 1
+        idx = tuple(int(inv[off + p * width + m])
+                    for p in range(n_pairs) for m in range(width))
+        slices_idx.append((idx, n_pairs))
+    return pairs, tuple(groups), perm, tuple(slices_idx)
+
+
 def _broadcast_taus(rep1, rep2):
     taus = [max(a.shape[-3] for a in rep1), max(b.shape[-3] for b in rep2)]
     tau = _pair_taus(taus[0], taus[1])

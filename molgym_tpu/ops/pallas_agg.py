@@ -87,9 +87,9 @@ def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
     c_refs = c_and_out_refs[:-2]
     out_r_ref, out_i_ref = c_and_out_refs[-2:]
     rows = e_r_ref.shape[0]
-    p = m1 * m2
     repm = repm_ref[:]
     tilem = tilem_ref[:]
+    p = repm.shape[1]  # m1*m2 dense pairs, or the tri fold's M(M+1)/2
     z_r = jnp.zeros((rows, p), jnp.float32)
     z_i = jnp.zeros((rows, p), jnp.float32)
     for j in range(n_j):
@@ -189,30 +189,42 @@ def _full_spec(shape):
 
 @functools.lru_cache(maxsize=None)
 def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
-                 tile: int, interpret: bool, group_key=None):
+                 tile: int, interpret: bool, group_key=None, pairs_key=None):
     # group_key: None (dense final contraction) or a tuple of
-    # (l1, shape, bytes) per nonempty l1 group (cg.fused_cg_table_grouped) —
-    # the output K axis is then PERMUTED l1-major, matching the grouped
-    # kernels' contract.
+    # (row_a, row_b, shape, bytes) per group: contract z[:, row_a:row_b]
+    # against the compacted sub-table (cg.fused_cg_table_grouped /
+    # fused_cg_table_tri) — the output K axis is then PERMUTED group-major,
+    # matching the grouped kernels' consumer contract.
+    # pairs_key: None (dense m-major pair space p = m*m2 + n) or bytes of an
+    # int32 [P, 2] pair list (the tri fold) from which the expansion
+    # matrices are built.
     if group_key is None:
         gspec = None
-        cgs = (np.frombuffer(table_bytes, np.float32).reshape(m1 * m2, k), )
+        cgs = (np.frombuffer(table_bytes, np.float32).reshape(-1, k), )
     else:
         gspec, cgs = [], []
         ka = 0
-        for l1, shape, raw in group_key:
+        for row_a, row_b, shape, raw in group_key:
             sub = np.frombuffer(raw, np.float32).reshape(shape)
-            gspec.append((l1 * l1 * m2, (l1 + 1) * (l1 + 1) * m2,
-                          ka, ka + shape[1]))
+            gspec.append((row_a, row_b, ka, ka + shape[1]))
             cgs.append(sub)
             ka += shape[1]
         assert ka == k, (ka, k)
         gspec = tuple(gspec)
-    # pair index p = m*m2 + n:  repm expands e over n, tilem tiles q over m.
-    repm = np.kron(np.eye(m1, dtype=np.float32),
-                   np.ones((1, m2), np.float32))
-    tilem = np.kron(np.ones((1, m1), np.float32),
-                    np.eye(m2, dtype=np.float32))
+    if pairs_key is None:
+        # pair index p = m*m2 + n: repm expands e over n, tilem tiles q
+        # over m.
+        repm = np.kron(np.eye(m1, dtype=np.float32),
+                       np.ones((1, m2), np.float32))
+        tilem = np.kron(np.ones((1, m1), np.float32),
+                        np.eye(m2, dtype=np.float32))
+    else:
+        pairs = np.frombuffer(pairs_key, np.int32).reshape(-1, 2)
+        n_p = pairs.shape[0]
+        repm = np.zeros((m1, n_p), np.float32)
+        tilem = np.zeros((m2, n_p), np.float32)
+        repm[pairs[:, 0], np.arange(n_p)] = 1.0
+        tilem[pairs[:, 1], np.arange(n_p)] = 1.0
     tables_f = (repm, tilem) + tuple(cgs)
     tables_b = (repm, tilem, repm.T.copy(), tilem.T.copy()) + tuple(
         np.ascontiguousarray(c.T) for c in cgs)
@@ -651,7 +663,7 @@ def cg_aggregate_edge_fused_ri(sph_packed: jnp.ndarray,
 
 
 def cg_square_fused_ri(a_r: jnp.ndarray, a_i: jnp.ndarray,
-                       table3: np.ndarray, grouped=None,
+                       table3: np.ndarray, grouped=None, tri=None,
                        interpret: bool = False):
     """CG self-product (the level's "CG square", cormorant CGProduct of a rep
     with itself, no neighbor aggregation) as the row kernel with n_j=1.
@@ -667,6 +679,12 @@ def cg_square_fused_ri(a_r: jnp.ndarray, a_i: jnp.ndarray,
     grouped  optional (tables, perm) from cg.fused_cg_table_grouped(n, n,
              maxl): per-l1 compacted final contraction, K axis PERMUTED
              l1-major — consume with the matching idx-form slices.
+    tri      optional (pairs, groups) from cg.fused_cg_table_tri(n, maxl):
+             z is symmetric for the self product, so the kernel computes
+             only the M(M+1)/2 tri pairs (half the expansion width and half
+             the table rows of `grouped`); K axis PERMUTED lmin-major —
+             consume with fused_cg_table_tri's idx-form slices. Takes
+             precedence over `grouped`.
     returns (out_r, out_i), each [..., tau, K].
     """
     m1 = a_r.shape[-1]
@@ -675,15 +693,29 @@ def cg_square_fused_ri(a_r: jnp.ndarray, a_i: jnp.ndarray,
     rows = int(np.prod(batch))
     table_bytes = np.ascontiguousarray(table3, np.float32).tobytes()
     group_key = None
-    if grouped is not None:
-        gtabs, _perm = grouped
+    pairs_key = None
+    if tri is not None:
+        pairs, groups = tri
+        pairs_key = np.ascontiguousarray(pairs, np.int32).tobytes()
         group_key = tuple(
-            (l1, t.shape, np.ascontiguousarray(t, np.float32).tobytes())
-            for l1, t in enumerate(gtabs) if t.shape[1])
+            (a, b, t.shape, np.ascontiguousarray(t, np.float32).tobytes())
+            for a, b, t in groups if t.shape[1])
+    elif grouped is not None:
+        gtabs, _perm = grouped
+        m2_tot = m1
+        group_key = []
+        n_ells = int(round(np.sqrt(m1)))
+        off = np.cumsum([0] + [2 * l + 1 for l in range(n_ells)]) * m2_tot
+        for l1, t in enumerate(gtabs):
+            if t.shape[1]:
+                group_key.append(
+                    (int(off[l1]), int(off[l1 + 1]), t.shape,
+                     np.ascontiguousarray(t, np.float32).tobytes()))
+        group_key = tuple(group_key)
     e_r = a_r.reshape(rows, m1)
     e_i = a_i.reshape(rows, m1)
     fused = _make_row_fn(1, m1, m1, k, table_bytes, _pick_row_tile(rows),
-                         interpret, group_key)
+                         interpret, group_key, pairs_key)
     # the same array enters as both operands; JAX accumulates the custom
     # VJP's de + dq cotangents automatically
     out_r, out_i = fused(e_r, e_i, e_r, e_i)

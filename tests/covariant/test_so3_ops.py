@@ -489,11 +489,12 @@ class TestCGSquarePallas:
     without the HBM outer-product intermediates (VERDICT r03 next #2 —
     fold the CG-square chain into kernels)."""
 
-    @pytest.mark.parametrize('grouped', [False, True])
-    def test_matches_einsum_square(self, grouped):
+    @pytest.mark.parametrize('mode', ['dense', 'grouped', 'tri'])
+    def test_matches_einsum_square(self, mode):
         from molgym_tpu.ops import pallas_agg
         from molgym_tpu.ops.cg import (_fused_cg_table, cg_product_packed_ri,
-                                       fused_cg_table_grouped)
+                                       fused_cg_table_grouped,
+                                       fused_cg_table_tri)
         maxl, B, N, tau = 4, 2, 4, 5
         n_ells = maxl + 1
         m = n_ells ** 2
@@ -501,11 +502,13 @@ class TestCGSquarePallas:
         a_r = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
         a_i = jnp.asarray(rng.randn(B, N, tau, m).astype(np.float32))
         table3, _sl = _fused_cg_table(n_ells, n_ells, maxl)
-        g = None
-        perm = None
-        if grouped:
+        g = tri = perm = None
+        if mode == 'grouped':
             gtabs, perm, _si = fused_cg_table_grouped(n_ells, n_ells, maxl)
             g = (gtabs, perm)
+        elif mode == 'tri':
+            pairs, groups, perm, _si = fused_cg_table_tri(n_ells, maxl)
+            tri = (pairs, groups)
 
         def via_einsum(ar, ai):
             (r, i), _ = cg_product_packed_ri(ar, ai, ar, ai, n_ells, n_ells,
@@ -516,7 +519,7 @@ class TestCGSquarePallas:
 
         def via_pallas(ar, ai):
             r, i = pallas_agg.cg_square_fused_ri(ar, ai, table3, grouped=g,
-                                                 interpret=True)
+                                                 tri=tri, interpret=True)
             return jnp.stack([r, i], -1)
 
         ref = via_einsum(a_r, a_i)
