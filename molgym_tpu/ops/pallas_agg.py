@@ -60,6 +60,17 @@ def _l_of_m(n_ells):
     return tuple(out)
 
 
+def _mxu_dtype(dt):
+    """Dtype MXU dot INPUTS are fed in. bfloat16 operands stay bfloat16 —
+    the v5e MXU runs bf16xbf16->f32 at 2x the f32 rate, and upcasting the
+    operands (the previous behavior) paid conversion VPU work only to halve
+    the systolic-array throughput; measured: bf16 mode was SLOWER than f32
+    (7.94 vs 7.04 ms, BENCH_r03) because no dot ever saw a bf16 input.
+    Accumulation stays f32 everywhere via preferred_element_type; the f32
+    path is bit-identical (astype(f32) of f32 is a no-op)."""
+    return jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+
+
 def _pick_row_tile(rows: int) -> int:
     """Largest multiple-of-8 divisor of `rows` up to 288 — when one exists
     the kernel needs no row padding and no output slice (the pad/slice
@@ -78,12 +89,13 @@ def _pick_row_tile(rows: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
-                *c_and_out_refs, n_j, m1, m2, gspec):
+                *c_and_out_refs, n_j, m1, m2, gspec, mxu):
     # e_* [R, n_j*m1] (j-major)  q_* [R, n_j*m2] (j-major)
     # repm [m1, m1*m2]  tilem [m2, m1*m2]  out_* [R, K]
     # c_and_out_refs: the CG table ref(s) — one dense [m1*m2, K] when gspec
     # is None, else one compacted [w1*m2, K_g] per nonempty l1 group — then
     # out_r_ref, out_i_ref.
+    # mxu: dot-input dtype (_mxu_dtype); tables arrive pre-cast to it.
     c_refs = c_and_out_refs[:-2]
     out_r_ref, out_i_ref = c_and_out_refs[-2:]
     rows = e_r_ref.shape[0]
@@ -93,10 +105,10 @@ def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
     z_r = jnp.zeros((rows, p), jnp.float32)
     z_i = jnp.zeros((rows, p), jnp.float32)
     for j in range(n_j):
-        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
-        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
-        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
-        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(mxu)
+        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(mxu)
+        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(mxu)
+        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(mxu)
         big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
         big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
         big_qr = jnp.dot(qr, tilem, preferred_element_type=jnp.float32)
@@ -105,7 +117,7 @@ def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
         z_i = z_i + big_er * big_qi + big_ei * big_qr
     # stacked (r, i) final contraction; per-l1 compacted group dots skip the
     # dense table's structural zeros (same trick as the grouped kernels)
-    z_ri = jnp.concatenate([z_r, z_i], axis=0)
+    z_ri = jnp.concatenate([z_r, z_i], axis=0).astype(mxu)
     if gspec is None:
         out = jnp.dot(z_ri, c_refs[0][:], preferred_element_type=jnp.float32)
     else:
@@ -118,7 +130,8 @@ def _fwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
 
 
 def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
-                repm_t_ref, tilem_t_ref, *rest_refs, n_j, m1, m2, gspec):
+                repm_t_ref, tilem_t_ref, *rest_refs, n_j, m1, m2, gspec,
+                mxu):
     # rest_refs: transposed CG table ref(s) — one dense [K, m1*m2] when gspec
     # is None, else one [K_g, w1*m2] per nonempty group — then g_r_ref,
     # g_i_ref, de_r_ref, de_i_ref, dq_r_ref, dq_i_ref.
@@ -130,8 +143,8 @@ def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
     tilem = tilem_ref[:]
     repm_t = repm_t_ref[:]
     tilem_t = tilem_t_ref[:]
-    g_r = g_r_ref[:].astype(jnp.float32)
-    g_i = g_i_ref[:].astype(jnp.float32)
+    g_r = g_r_ref[:].astype(mxu)
+    g_i = g_i_ref[:].astype(mxu)
     rows = g_r.shape[0]
     g_ri = jnp.concatenate([g_r, g_i], axis=0)
     if gspec is None:
@@ -144,10 +157,10 @@ def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
              for (_a, _b, ka, kb), ct_ref in zip(gspec, ct_refs)], axis=1)
     dz_r, dz_i = dz_ri[:rows], dz_ri[rows:]
     for j in range(n_j):
-        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
-        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(jnp.float32)
-        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
-        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(jnp.float32)
+        er = e_r_ref[:, j * m1:(j + 1) * m1].astype(mxu)
+        ei = e_i_ref[:, j * m1:(j + 1) * m1].astype(mxu)
+        qr = q_r_ref[:, j * m2:(j + 1) * m2].astype(mxu)
+        qi = q_i_ref[:, j * m2:(j + 1) * m2].astype(mxu)
         big_er = jnp.dot(er, repm, preferred_element_type=jnp.float32)
         big_ei = jnp.dot(ei, repm, preferred_element_type=jnp.float32)
         big_qr = jnp.dot(qr, tilem, preferred_element_type=jnp.float32)
@@ -158,17 +171,17 @@ def _bwd_kernel(e_r_ref, e_i_ref, q_r_ref, q_i_ref, repm_ref, tilem_ref,
         d_qr = dz_r * big_er + dz_i * big_ei
         d_qi = dz_i * big_er - dz_r * big_ei
         de_r_ref[:, j * m1:(j + 1) * m1] = jnp.dot(
-            d_er, repm_t, preferred_element_type=jnp.float32).astype(
-                de_r_ref.dtype)
+            d_er.astype(mxu), repm_t,
+            preferred_element_type=jnp.float32).astype(de_r_ref.dtype)
         de_i_ref[:, j * m1:(j + 1) * m1] = jnp.dot(
-            d_ei, repm_t, preferred_element_type=jnp.float32).astype(
-                de_i_ref.dtype)
+            d_ei.astype(mxu), repm_t,
+            preferred_element_type=jnp.float32).astype(de_i_ref.dtype)
         dq_r_ref[:, j * m2:(j + 1) * m2] = jnp.dot(
-            d_qr, tilem_t, preferred_element_type=jnp.float32).astype(
-                dq_r_ref.dtype)
+            d_qr.astype(mxu), tilem_t,
+            preferred_element_type=jnp.float32).astype(dq_r_ref.dtype)
         dq_i_ref[:, j * m2:(j + 1) * m2] = jnp.dot(
-            d_qi, tilem_t, preferred_element_type=jnp.float32).astype(
-                dq_i_ref.dtype)
+            d_qi.astype(mxu), tilem_t,
+            preferred_element_type=jnp.float32).astype(dq_i_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -234,8 +247,9 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
         pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i)]
         rp = rows + pad
+        mxu = _mxu_dtype(e_r.dtype)
         kernel = functools.partial(_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                                   gspec=gspec)
+                                   gspec=gspec, mxu=mxu)
         out_r, out_i = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, k), e_r.dtype),
@@ -246,7 +260,7 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
                      [_full_spec(t.shape) for t in tables_f],
             out_specs=(_row_spec(k, tile), _row_spec(k, tile)),
             interpret=interpret,
-        )(*args, *(jnp.asarray(t) for t in tables_f))
+        )(*args, *(jnp.asarray(t, mxu) for t in tables_f))
         return (out_r, out_i) if pad == 0 else (out_r[:rows], out_i[:rows])
 
     def run_bwd(e_r, e_i, q_r, q_i, g_r, g_i):
@@ -254,8 +268,9 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
         pad = (-rows) % tile
         args = [_pad_rows(x, pad) for x in (e_r, e_i, q_r, q_i, g_r, g_i)]
         rp = rows + pad
+        mxu = _mxu_dtype(e_r.dtype)
         kernel = functools.partial(_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                                   gspec=gspec)
+                                   gspec=gspec, mxu=mxu)
         outs = pl.pallas_call(
             kernel,
             out_shape=(jax.ShapeDtypeStruct((rp, n_j * m1), e_r.dtype),
@@ -270,7 +285,7 @@ def _make_row_fn(n_j: int, m1: int, m2: int, k: int, table_bytes: bytes,
             out_specs=(_row_spec(n_j * m1, tile), _row_spec(n_j * m1, tile),
                        _row_spec(n_j * m2, tile), _row_spec(n_j * m2, tile)),
             interpret=interpret,
-        )(*args[:4], *(jnp.asarray(t) for t in tables_b), *args[4:])
+        )(*args[:4], *(jnp.asarray(t, mxu) for t in tables_b), *args[4:])
         return outs if pad == 0 else tuple(o[:rows] for o in outs)
 
     @jax.custom_vjp
@@ -318,10 +333,11 @@ def _grouped_tile(b: int, n: int, tau: int):
 
 def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
                         se_ref, sq_ref, gexp_ref, repm_ref, tilem_ref,
-                        *table_and_out_refs, n_j, m1, m2, n_l, gspec):
+                        *table_and_out_refs, n_j, m1, m2, n_l, gspec, mxu):
     # table_and_out_refs: the CG table ref(s) — one dense [m1*m2, K] when
     # gspec is None, else one compacted [w1*m2, K_g] per nonempty l1 group
     # (see cg.fused_cg_table_grouped) — followed by out_r_ref, out_i_ref.
+    # mxu: dot-input dtype (_mxu_dtype); tables arrive pre-cast to it.
     c_refs = table_and_out_refs[:-2]
     out_r_ref, out_i_ref = table_and_out_refs[-2:]
     se = se_ref[:]
@@ -329,15 +345,15 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     gexp = gexp_ref[:]
     repm = repm_ref[:]
     tilem = tilem_ref[:]
-    sph_big_r = jnp.dot(se, sphr_ref[0].astype(jnp.float32),
+    sph_big_r = jnp.dot(se, sphr_ref[0].astype(mxu),
                         preferred_element_type=jnp.float32)
-    sph_big_i = jnp.dot(se, sphi_ref[0].astype(jnp.float32),
+    sph_big_i = jnp.dot(se, sphi_ref[0].astype(mxu),
                         preferred_element_type=jnp.float32)
-    q_big_r = jnp.dot(sq, qr_ref[0].astype(jnp.float32),
+    q_big_r = jnp.dot(sq, qr_ref[0].astype(mxu),
                       preferred_element_type=jnp.float32)
-    q_big_i = jnp.dot(sq, qi_ref[0].astype(jnp.float32),
+    q_big_i = jnp.dot(sq, qi_ref[0].astype(mxu),
                       preferred_element_type=jnp.float32)
-    rad = rad_ref[:].astype(jnp.float32)
+    rad = rad_ref[:].astype(mxu)
     rows = rad.shape[0]
     p = m1 * m2
     z_r = jnp.zeros((rows, p), jnp.float32)
@@ -348,11 +364,12 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
         # stacked (r, i) rows: 2 expansion matmuls per j instead of 4
         e_ri = jnp.concatenate([radx * sph_big_r[:, j * m1:(j + 1) * m1],
                                 radx * sph_big_i[:, j * m1:(j + 1) * m1]],
-                               axis=0)
+                               axis=0).astype(mxu)
         big_e = jnp.dot(e_ri, repm, preferred_element_type=jnp.float32)
         big_er, big_ei = big_e[:rows], big_e[rows:]
         q_ri = jnp.concatenate([q_big_r[:, j * m2:(j + 1) * m2],
-                                q_big_i[:, j * m2:(j + 1) * m2]], axis=0)
+                                q_big_i[:, j * m2:(j + 1) * m2]],
+                               axis=0).astype(mxu)
         big_q = jnp.dot(q_ri, tilem, preferred_element_type=jnp.float32)
         big_qr, big_qi = big_q[:rows], big_q[rows:]
         z_r = z_r + big_er * big_qr - big_ei * big_qi
@@ -360,7 +377,7 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     # one stacked final contraction: dense [2R, p] x [p, K], or per-l1 dots
     # against the compacted group tables (15 -> 7 MXU tile passes at maxl=4;
     # the dense table is >90% structural zeros, cg.fused_cg_table_grouped)
-    z_ri = jnp.concatenate([z_r, z_i], axis=0)
+    z_ri = jnp.concatenate([z_r, z_i], axis=0).astype(mxu)
     if gspec is None:
         out = jnp.dot(z_ri, c_refs[0][:], preferred_element_type=jnp.float32)
     else:
@@ -375,7 +392,7 @@ def _grouped_fwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
 def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
                         se_ref, sq_ref, sqt_ref, gexp_ref, gexpt_ref,
                         repm_ref, tilem_ref, repm_t_ref, tilem_t_ref,
-                        *rest_refs, n_j, m1, m2, n_l, gspec):
+                        *rest_refs, n_j, m1, m2, n_l, gspec, mxu):
     # rest_refs: transposed CG table ref(s) — one dense [K, m1*m2] when
     # gspec is None, else one [K_g, w1*m2] per nonempty group — then
     # g_r_ref, g_i_ref, drad_ref, dq_r_ref, dq_i_ref.
@@ -388,17 +405,17 @@ def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
     tilem = tilem_ref[:]
     repm_t = repm_t_ref[:]
     tilem_t = tilem_t_ref[:]
-    sph_big_r = jnp.dot(se, sphr_ref[0].astype(jnp.float32),
+    sph_big_r = jnp.dot(se, sphr_ref[0].astype(mxu),
                         preferred_element_type=jnp.float32)
-    sph_big_i = jnp.dot(se, sphi_ref[0].astype(jnp.float32),
+    sph_big_i = jnp.dot(se, sphi_ref[0].astype(mxu),
                         preferred_element_type=jnp.float32)
-    q_big_r = jnp.dot(sq, qr_ref[0].astype(jnp.float32),
+    q_big_r = jnp.dot(sq, qr_ref[0].astype(mxu),
                       preferred_element_type=jnp.float32)
-    q_big_i = jnp.dot(sq, qi_ref[0].astype(jnp.float32),
+    q_big_i = jnp.dot(sq, qi_ref[0].astype(mxu),
                       preferred_element_type=jnp.float32)
-    rad = rad_ref[:].astype(jnp.float32)
-    g_r = g_r_ref[:].astype(jnp.float32)
-    g_i = g_i_ref[:].astype(jnp.float32)
+    rad = rad_ref[:].astype(mxu)
+    g_r = g_r_ref[:].astype(mxu)
+    g_i = g_i_ref[:].astype(mxu)
     rows = rad.shape[0]
     # one stacked-rows dot for both complex parts: [2R, K] x ct — the
     # narrow-output table matmuls (25 of 128 lanes live) dominate the
@@ -424,29 +441,31 @@ def _grouped_bwd_kernel(rad_ref, sphr_ref, sphi_ref, qr_ref, qi_ref,
         si = sph_big_i[:, j * m1:(j + 1) * m1]
         # stacked expansion of (e_r, e_i) and (q_r, q_i): 2 wide matmuls
         # instead of 4
-        e_ri = jnp.concatenate([radx * sr, radx * si], axis=0)
+        e_ri = jnp.concatenate([radx * sr, radx * si], axis=0).astype(mxu)
         big_e = jnp.dot(e_ri, repm, preferred_element_type=jnp.float32)
         big_er, big_ei = big_e[:rows], big_e[rows:]
         q_ri = jnp.concatenate([q_big_r[:, j * m2:(j + 1) * m2],
-                                q_big_i[:, j * m2:(j + 1) * m2]], axis=0)
+                                q_big_i[:, j * m2:(j + 1) * m2]],
+                               axis=0).astype(mxu)
         big_q = jnp.dot(q_ri, tilem, preferred_element_type=jnp.float32)
         big_qr, big_qi = big_q[:rows], big_q[rows:]
         d_er = dz_r * big_qr + dz_i * big_qi
         d_ei = dz_i * big_qr - dz_r * big_qi
         d_qr = dz_r * big_er + dz_i * big_ei
         d_qi = dz_i * big_er - dz_r * big_ei
-        de_ri = jnp.dot(jnp.concatenate([d_er, d_ei], axis=0), repm_t,
-                        preferred_element_type=jnp.float32)
+        de_ri = jnp.dot(
+            jnp.concatenate([d_er, d_ei], axis=0).astype(mxu), repm_t,
+            preferred_element_type=jnp.float32)
         dradx = de_ri[:rows] * sr + de_ri[rows:] * si
         drad_ref[:, j * n_l:(j + 1) * n_l] = jnp.dot(
-            dradx, gexpt_ref[:], preferred_element_type=jnp.float32).astype(
-                drad_ref.dtype)
+            dradx.astype(mxu), gexpt_ref[:],
+            preferred_element_type=jnp.float32).astype(drad_ref.dtype)
         dq_slabs_ri.append(jnp.dot(
-            jnp.concatenate([d_qr, d_qi], axis=0), tilem_t,
+            jnp.concatenate([d_qr, d_qi], axis=0).astype(mxu), tilem_t,
             preferred_element_type=jnp.float32))
     # reduce the atom-rep gradient over i inside the kernel; slabs carry
     # stacked (r, i) rows, split once here
-    dq_all = jnp.concatenate(dq_slabs_ri, axis=-1)   # [2R, n_j*m2]
+    dq_all = jnp.concatenate(dq_slabs_ri, axis=-1).astype(mxu)
     dq_r_ref[0] = jnp.dot(sqt_ref[:], dq_all[:rows],
                           preferred_element_type=jnp.float32).astype(
                               dq_r_ref.dtype)
@@ -506,9 +525,10 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
                 sph_i.reshape(grid, tile // tau, -1))
         q3 = (q_r.reshape(grid, tile // n_j, -1),
               q_i.reshape(grid, tile // n_j, -1))
+        mxu = _mxu_dtype(rad.dtype)
         out_r, out_i = pl.pallas_call(
             functools.partial(_grouped_fwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                              n_l=n_l, gspec=gspec),
+                              n_l=n_l, gspec=gspec, mxu=mxu),
             out_shape=(jax.ShapeDtypeStruct((rows, k), rad.dtype),
                        jax.ShapeDtypeStruct((rows, k), rad.dtype)),
             grid=(grid, ),
@@ -520,7 +540,7 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
                      [_full_spec(t.shape) for t in tables_f],
             out_specs=(_row_spec(k, tile), _row_spec(k, tile)),
             interpret=interpret,
-        )(rad, *sph3, *q3, *(jnp.asarray(t) for t in tables_f))
+        )(rad, *sph3, *q3, *(jnp.asarray(t, mxu) for t in tables_f))
         return out_r, out_i
 
     def run_bwd(rad, sph_r, sph_i, q_r, q_i, g_r, g_i):
@@ -530,9 +550,10 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
                 sph_i.reshape(grid, tile // tau, -1))
         q3 = (q_r.reshape(grid, tile // n_j, -1),
               q_i.reshape(grid, tile // n_j, -1))
+        mxu = _mxu_dtype(rad.dtype)
         drad, dq_r, dq_i = pl.pallas_call(
             functools.partial(_grouped_bwd_kernel, n_j=n_j, m1=m1, m2=m2,
-                              n_l=n_l, gspec=gspec),
+                              n_l=n_l, gspec=gspec, mxu=mxu),
             out_shape=(jax.ShapeDtypeStruct((rows, n_j * n_l), rad.dtype),
                        jax.ShapeDtypeStruct((grid, tile // n_j, n_j * m2),
                                             q_r.dtype),
@@ -550,7 +571,8 @@ def _make_grouped_fn(n_j: int, m1: int, m2: int, n_l: int, k: int,
                        _tiled3(n_j * m2, tile // n_j),
                        _tiled3(n_j * m2, tile // n_j)),
             interpret=interpret,
-        )(rad, *sph3, *q3, *(jnp.asarray(t) for t in tables_b), g_r, g_i)
+        )(rad, *sph3, *q3, *(jnp.asarray(t, mxu) for t in tables_b),
+          g_r, g_i)
         return (drad, dq_r.reshape(rows // n_j, -1),
                 dq_i.reshape(rows // n_j, -1))
 

@@ -484,6 +484,91 @@ class TestFusedAggregateKernel:
                                    atol=2e-4, rtol=2e-4)
 
 
+class TestFusedAggregateBf16:
+    """bfloat16 operands through the fused kernels: dot inputs stay bf16
+    (MXU native, 2x the f32 rate on v5e) with f32 accumulation — the values
+    must match the f32 einsum oracle to bf16 resolution, fwd and grads, on
+    both operand-feeding strategies (pallas_agg._mxu_dtype)."""
+
+    @pytest.mark.parametrize('path', ['grouped', 'fallback'])
+    def test_bf16_matches_f32_oracle(self, path, monkeypatch):
+        from molgym_tpu.ops import pallas_agg
+        from molgym_tpu.ops.cg import _fused_cg_table, cg_aggregate_packed
+        if path == 'fallback':
+            monkeypatch.setattr(pallas_agg, '_grouped_tile', lambda *a: None)
+
+        maxl, B, N, tau = 3, 2, 4, 6
+        n_ells = maxl + 1
+        m1 = m2 = n_ells ** 2
+        rng = np.random.RandomState(5)
+        # round the raw data to bf16 resolution first so the comparison
+        # isolates the kernel's compute precision from input quantization
+        def bfr(x):
+            return np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+        sph = jnp.asarray(bfr(rng.randn(B, N, N, m1, 2)))
+        rad = jnp.asarray(bfr(rng.randn(B, N, N, tau, n_ells)))
+        atom = jnp.asarray(bfr(rng.randn(B, N, tau, m2, 2)))
+        table3, _sl = _fused_cg_table(n_ells, n_ells, maxl)
+
+        def via_einsum(rad_, atom_):
+            reps = np.array([2 * l + 1 for l in range(n_ells)])
+            rad_m = jnp.repeat(rad_, repeats=reps, axis=-1,
+                               total_repeat_length=m1)
+            edge = rad_m[..., None] * sph[..., None, :, :]
+            out, _ = cg_aggregate_packed(edge, atom_, n_ells, n_ells, maxl)
+            return out
+
+        def via_pallas_bf16(rad_, atom_):
+            r, i = pallas_agg.cg_aggregate_edge_fused_ri(
+                sph.astype(jnp.bfloat16), rad_.astype(jnp.bfloat16),
+                atom_[..., 0].astype(jnp.bfloat16),
+                atom_[..., 1].astype(jnp.bfloat16), table3, interpret=True)
+            return jnp.stack([r, i], -1).astype(jnp.float32)
+
+        ref = np.asarray(via_einsum(rad, atom))
+        out = np.asarray(via_pallas_bf16(rad, atom))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=0.03 * scale, rtol=0.05)
+
+        cot = jnp.asarray(bfr(rng.randn(*ref.shape)))
+        ge = jax.grad(lambda r_, a_: jnp.sum(via_einsum(r_, a_) * cot),
+                      argnums=(0, 1))(rad, atom)
+        gp = jax.grad(
+            lambda r_, a_: jnp.sum(via_pallas_bf16(r_, a_) * cot),
+            argnums=(0, 1))(rad, atom)
+        for a, b in zip(ge, gp):
+            s = np.abs(np.asarray(a)).max()
+            np.testing.assert_allclose(np.asarray(b, np.float32),
+                                       np.asarray(a, np.float32),
+                                       atol=0.03 * s, rtol=0.05)
+
+    def test_square_tri_bf16_matches_f32_oracle(self):
+        from molgym_tpu.ops import pallas_agg
+        from molgym_tpu.ops.cg import (_fused_cg_table, cg_product_packed_ri,
+                                       fused_cg_table_tri)
+        maxl, B, N, tau = 4, 2, 4, 5
+        n_ells = maxl + 1
+        m = n_ells ** 2
+        rng = np.random.RandomState(17)
+        def bfr(x):
+            return np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+        a_r = jnp.asarray(bfr(rng.randn(B, N, tau, m)))
+        a_i = jnp.asarray(bfr(rng.randn(B, N, tau, m)))
+        table3, _sl = _fused_cg_table(n_ells, n_ells, maxl)
+        pairs, groups, perm, _si = fused_cg_table_tri(n_ells, maxl)
+
+        (rr, ri), _ = cg_product_packed_ri(a_r, a_i, a_r, a_i, n_ells,
+                                           n_ells, maxl)
+        permj = jnp.asarray(perm)
+        ref = np.asarray(jnp.stack([rr[..., permj], ri[..., permj]], -1))
+        pr, pi = pallas_agg.cg_square_fused_ri(
+            a_r.astype(jnp.bfloat16), a_i.astype(jnp.bfloat16), table3,
+            tri=(pairs, groups), interpret=True)
+        out = np.asarray(jnp.stack([pr, pi], -1).astype(jnp.float32))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=0.03 * scale, rtol=0.05)
+
+
 class TestCGSquarePallas:
     """cg_square_fused_ri (row kernel, n_j=1): the level's CG self-product
     without the HBM outer-product intermediates (VERDICT r03 next #2 —
