@@ -20,6 +20,9 @@ extra        = secondary metrics (each individually fault-tolerant and
                mfu_est_pct_batch_2240
                ms_bf16                batch-140 ms with --encoder_dtype
                                       bfloat16
+               ms_bf16_2240           bfloat16 at saturation batch (native-
+                                      rate MXU dots win ~1.29x there)
+               mfu_est_pct_bf16_2240
                env_steps_per_sec_eht  SF6 training-rollout env-steps/s with
                                       the native EHT quantum reward through
                                       the PIPELINED host-loop transport
@@ -327,6 +330,18 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
         grad_fn, params = build_grad_fn(encoder_dtype='bfloat16')
         return round(time_grad(grad_fn, params), 3)
 
+    def bf16_2240():
+        # bf16 at saturation batch: the kernels feed bf16 dot inputs at the
+        # MXU's native rate (f32 accumulation), which wins ~1.29x where the
+        # step is table-contraction-bound (measured 95.5 vs 122.7 ms f32,
+        # ~23% MFU — experiments/perf/README.md round 4)
+        grad_fn, params = build_grad_fn(batch=2240,
+                                        encoder_dtype='bfloat16')
+        ms = time_grad(grad_fn, params, iters=10)
+        extras['mfu_est_pct_bf16_2240'] = round(
+            hlo_flops(grad_fn, params) / (ms / 1e3) / PEAK_FLOPS * 100, 4)
+        return round(ms, 3)
+
     def internal_agent():
         # second model family (reference ICML-2020 SchNet agent): fwd+bwd
         # per SF6 minibatch through the batched cfconv SchNet encoder
@@ -404,6 +419,7 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
     guard('ms_internal_agent', internal_agent, est_s=c + 60)
     guard('ms_einsum_agg', einsum_agg, est_s=c + 60)
     guard('ms_batch_2240', batch_2240, est_s=2 * c + 120)
+    guard('ms_bf16_2240', bf16_2240, est_s=2 * c + 120)
     if skipped:
         extras['skipped'] = skipped
     return extras

@@ -1,4 +1,5 @@
 """SchNet encoder + internal agent tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ class TestSchNetEncoder:
 
 
 class TestSchNetAgent:
+    @pytest.mark.slow
     def test_act_and_evaluate(self):
         space = ObservationSpace(canvas_size=4, zs=[0, 1, 8])
         formulas = np.stack([space.bag_from_formula(string_to_formula('H2O'))])

@@ -1,6 +1,7 @@
 """Flagship equivariance tests for the covariant agent (parity with reference
 tests/agents/covariant/test_agent.py: a_lms covariance under Wigner-D,
 rotation invariance of the S^2 log-prob extrema, AtomicScalars invariance)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +116,7 @@ class TestEquivariance:
 
 
 class TestCovariantAgentRL:
+    @pytest.mark.slow
     def test_act_evaluate_consistency_and_env_step(self):
         space = ObservationSpace(canvas_size=4, zs=[0, 1, 8])
         formulas = np.stack([space.bag_from_formula(string_to_formula('H2O'))])
@@ -156,6 +158,7 @@ class TestCovariantAgentRL:
 
 
 class TestBf16Encoder:
+    @pytest.mark.slow
     def test_bf16_encoder_close_to_f32(self):
         """encoder_dtype='bfloat16' (TPU HBM-traffic mode) must run and stay
         close to the f32 path — same params, same inputs, loose tolerance."""

@@ -104,6 +104,7 @@ class TestCG:
         for p, q in zip(ab_rot, rot_ab):
             np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-4)
 
+    @pytest.mark.slow
     def test_fused_matches_loops_product(self):
         """The fused single-einsum CG product must be numerically identical
         (layout included) to the per-(l1,l2,l) loop implementation."""
@@ -118,6 +119,7 @@ class TestCG:
                 np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                            atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_matches_loops_aggregate(self):
         rng = np.random.RandomState(8)
         maxl = 3
@@ -305,6 +307,7 @@ class TestPackedLevel:
         return new
 
     @pytest.mark.parametrize('atom_n_ells', [1, 4])
+    @pytest.mark.slow
     def test_packed_level_matches_loop_level(self, atom_n_ells):
         from molgym_tpu.agents.cormorant import CGLevel, CGLevelPacked
         from molgym_tpu.ops.cg import pack_so3, unpack_so3
@@ -398,6 +401,7 @@ class TestFusedAggregateKernel:
                                        atol=3e-4, rtol=3e-4)
 
     @pytest.mark.parametrize('path', ['grouped', 'fallback'])
+    @pytest.mark.slow
     def test_l1_grouped_contraction_matches_oracle(self, path, monkeypatch):
         """At maxl=4 the kernel contracts z per l1 group against compacted
         sub-tables and emits a PERMUTED K axis (cg.fused_cg_table_grouped);
@@ -448,6 +452,7 @@ class TestFusedAggregateKernel:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=3e-4, rtol=3e-4)
 
+    @pytest.mark.slow
     def test_grouped_level_matches_einsum_backend(self):
         """Full CGLevelPacked on the pallas_interpret backend at maxl=4 —
         permuted kernel output consumed through PackedCatMix's idx-form

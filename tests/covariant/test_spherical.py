@@ -51,6 +51,7 @@ class TestSO3Distribution:
             np.testing.assert_allclose(integrate(dist, n_theta=40), 1.0,
                                        atol=5e-3)
 
+    @pytest.mark.slow
     def test_exp_so3_normalization_maxl6(self):
         # --maxl above the validated 4 must derive a bigger quadrature, not
         # silently reuse n_theta=24 (VERDICT r03 next #6): the derived order
@@ -89,6 +90,7 @@ class TestSO3Distribution:
         np.testing.assert_allclose(np.linalg.norm(np.asarray(s), axis=-1), 1.0,
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_sampler_matches_density(self):
         """Empirical mean direction of samples must match the density's mean
         direction (validates the rotated-grid categorical sampler)."""
@@ -106,6 +108,7 @@ class TestSO3Distribution:
         true_mean = np.einsum('k,k,kc->c', weights, p, points)
         np.testing.assert_allclose(emp_mean, true_mean, atol=0.05)
 
+    @pytest.mark.slow
     def test_batch_independence(self):
         """Sampling for batch item i must not depend on other batch items
         (reference test_spherical_distr.py checks this)."""
@@ -119,6 +122,7 @@ class TestSO3Distribution:
         lp1 = np.asarray(spherical.log_prob(dist1, pts[:, None, :]))[:, 0]
         np.testing.assert_allclose(lp3, lp1, atol=1e-6)
 
+    @pytest.mark.slow
     def test_argmax_near_max(self):
         rng = np.random.RandomState(6)
         dist = spherical.make_so3_distribution(
@@ -153,6 +157,7 @@ class TestGMM:
         mean = float(np.asarray(samples).mean())
         assert mean == pytest.approx(0.7 * 1.0 + 0.3 * 2.0, abs=0.05)
 
+    @pytest.mark.slow
     def test_argmax_near_dominant_mode(self):
         mode = gmm_argmax(jax.random.PRNGKey(1), self.log_w, self.means,
                           self.stds, count=256)
@@ -168,6 +173,7 @@ class TestExpSO3SamplerBias:
     _SAMPLE_GRID_N = 4096 is therefore bias-free at PPO-relevant scales.
     This test re-checks the bound at 4k samples per grid size."""
 
+    @pytest.mark.slow
     def test_entropy_bias_bounded_at_sharp_beta(self):
         rng = np.random.RandomState(7)
         B = 256

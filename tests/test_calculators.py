@@ -95,6 +95,7 @@ class TestHostRewardPipeline:
         assert r.shape == (2, )
         assert float(r[0]) == pytest.approx(0.15, rel=1e-2)  # at LJ optimum
 
+    @pytest.mark.slow
     def test_host_reward_in_env_rollout(self):
         """Full env + host reward under the scan-based rollout."""
         from molgym_tpu.agents.internal import make_mlp_internal_agent

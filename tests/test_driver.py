@@ -1,5 +1,6 @@
 """CLI-driver-level tests: the argparse->run_experiment path end to end on
 a tiny CPU config (reference scripts/run.py behavior)."""
+import pytest
 import json
 import os
 
@@ -7,6 +8,7 @@ import numpy as np
 
 
 class TestMultiBagEval:
+    @pytest.mark.slow
     def test_eval_covers_every_formula(self, tmp_path, monkeypatch):
         """num_eval_episodes defaults to one greedy episode per eval formula
         (reference scripts/run.py:69-70), so a 2-bag config's eval stream

@@ -1,5 +1,6 @@
 """Host-loop rollout: equivalence with the scan rollout (same calculator, same
 rng) — the fallback path for backends without io_callback support."""
+import pytest
 import jax
 import numpy as np
 
@@ -50,6 +51,7 @@ class TestHostLoopRollout:
                                    np.asarray(traj_loop.bootstrap_value),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_solvation_penalty_in_loop(self):
         calc = NativeBatchCalculator(method=METHOD_LJ, epsilon=0.15)
         env = build(make_host_reward(calc))
@@ -108,10 +110,12 @@ class TestPipelinedRollout:
         np.testing.assert_array_equal(np.asarray(t_serial.next_obs.elements),
                                       np.asarray(t_pipe.next_obs.elements))
 
+    @pytest.mark.slow
     def test_bitwise_identical_to_serial(self):
         t_serial, t_pipe, _ = self._run_pair(4, 8, seed=0, epsilon=0.15)
         self._assert_identical(t_serial, t_pipe)
 
+    @pytest.mark.slow
     def test_identical_with_low_reward_fixup(self):
         """A large epsilon makes the untrained policy trip the
         reward < min_reward clamp, exercising the recompute path."""
@@ -122,6 +126,7 @@ class TestPipelinedRollout:
             'fixture no longer exercises the low-reward fixup'
         self._assert_identical(t_serial, t_pipe)
 
+    @pytest.mark.slow
     def test_solvation_penalty_pipelined(self):
         from molgym_tpu.rl.rollout import make_pipelined_host_rollout_fn
         calc = NativeBatchCalculator(method=METHOD_LJ, epsilon=0.15)
@@ -184,6 +189,7 @@ class TestAutoTransportRollout:
         assert calls[4:] == ['serial', 'serial']
         assert auto.current_transport() == 'serial'
 
+    @pytest.mark.slow
     def test_trajectories_identical_across_selection(self):
         from molgym_tpu.rl.rollout import (make_auto_host_rollout_fn,
                                            make_host_loop_rollout_fn)

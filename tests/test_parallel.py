@@ -36,6 +36,7 @@ class TestMesh:
 
 
 class TestDataParallelPPO:
+    @pytest.mark.slow
     def test_iteration_runs_sharded(self):
         num_envs = 8
         env, agent, params = build(num_envs)
@@ -56,6 +57,7 @@ class TestDataParallelPPO:
             jax.tree.leaves(new_params), jax.tree.leaves(params)))
         assert diff > 0
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self):
         """The sharded program must compute the same update as the unsharded
         one (bitwise-identical math modulo reduction order)."""
@@ -146,6 +148,7 @@ class TestMultihost:
             assert p.returncode == 0, f'rank {i} failed:\n{out}'
             assert f'RANK{i}_OK' in out
 
+    @pytest.mark.slow
     def test_two_process_full_ppo_matches_single_process(self, tmp_path):
         """Full-program multihost proof (round-2 VERDICT item 7): one
         make_dp_ppo_iteration across 2 processes (2 CPU devices each, global
@@ -252,6 +255,7 @@ class TestMultihost:
             assert float(data['loss']) == pytest.approx(
                 float(np.asarray(ref_info['total_loss'])), abs=1e-4)
 
+    @pytest.mark.slow
     def test_two_process_driver_multihost_smoke(self, tmp_path):
         """VERDICT r03 next #7: the REAL driver path under --multihost — env
         creation, checkpointing, and rank-tagged rollout artifacts across 2

@@ -31,6 +31,7 @@ def build(formula='H2O', zs=(0, 1, 8), canvas_size=4, width=32):
 
 
 class TestAgent:
+    @pytest.mark.slow
     def test_act_shapes(self):
         env, agent, params, _ = build()
         states = env.init_states(jax.random.PRNGKey(0), 3)
@@ -41,6 +42,7 @@ class TestAgent:
         assert out.position.shape == (3, 3)
         assert out.logp.shape == out.ent.shape == out.v.shape == (3, )
 
+    @pytest.mark.slow
     def test_evaluate_consistent_with_act(self):
         """logp/v from evaluate(actions) must equal those from act."""
         env, agent, params, _ = build()
@@ -56,6 +58,7 @@ class TestAgent:
         np.testing.assert_allclose(ent, out2.ent, atol=1e-5)
         np.testing.assert_allclose(v, out2.v, atol=1e-5)
 
+    @pytest.mark.slow
     def test_element_respects_bag(self):
         env, agent, params, space = build('H2O')
         states = env.init_states(jax.random.PRNGKey(0), 16)
@@ -144,6 +147,7 @@ class TestEpisodeStats:
 
 
 class TestTrain:
+    @pytest.mark.slow
     def test_update_changes_params_and_stops_on_kl(self):
         env, agent, params, _ = build()
         config = PPOConfig(mini_batch_size=6, max_num_train_iters=3,
@@ -163,6 +167,7 @@ class TestTrain:
         assert diff > 0
         assert np.isfinite(info['total_loss'])
 
+    @pytest.mark.slow
     def test_minibatch_remainder_handled(self):
         # num_samples=16, mb=5 -> 3 full + remainder 1 (padded, weight-masked)
         env, agent, params, _ = build()

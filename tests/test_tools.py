@@ -117,6 +117,7 @@ class TestLegacyCovariantMigration:
         rng = jax.random.PRNGKey(0)
         return agent.init(rng, obs, rng, method=agent.act)
 
+    @pytest.mark.slow
     def test_roundtrip_through_modelio(self, tmp_path):
         import optax
         packed = self._packed_params()
