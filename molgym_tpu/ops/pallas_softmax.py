@@ -52,7 +52,7 @@ def masked_softmax_pallas(logits: jnp.ndarray, mask: jnp.ndarray,
         m2 = jnp.pad(m2, ((0, pad), (0, 0)))
     padded_rows = rows + pad
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec((_TILE_R, n), lambda i: (i, 0), memory_space=mem)
     out = pl.pallas_call(
         _softmax_kernel,
