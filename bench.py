@@ -3,10 +3,13 @@ covariant configuration (BASELINE.md: canvas 7, maxl 4, 3 CG levels, hidden
 10, 4 channels/element, minibatch 140, beta=-10).
 
 Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
-"extra"} TWICE: once immediately after the headline + baseline measurements
-(extras empty) so a driver timeout can never lose the number, and once more
-as the final stdout line with the extras filled in. Parsing either the first
-or the last JSON line of stdout yields a valid record.
+"extra"} immediately after the headline measurement (extras empty) so a
+driver timeout can never lose the number, then RE-PRINTS the full record
+after EVERY completed extra. Parsing the first JSON line of stdout yields a
+valid headline; parsing the last yields the richest record available at the
+moment the process ended — a mid-extras kill loses only the extras that had
+not finished yet (VERDICT r04 next #1: an overrun with data strictly beats
+an on-time empty record).
 
 value        = our fwd+bwd milliseconds per minibatch (lower is better),
                measured on the default JAX device (TPU under the driver).
@@ -51,6 +54,15 @@ edge reps, CG aggregate/square contractions with identical CG tables and
 identical shapes, plus backward — executed with torch on this host's CPU
 (the reference's own --device=cpu mode, arg_parser.py:18). Same math, same
 shapes, reference's framework.
+
+The baseline denominator is PINNED (BASELINE_PIN_MS below): the proxy is
+host-load-sensitive (16,323 ms in BENCH_r04 vs ~7,265 implied by r03 — a
+2.25x swing that made vs_baseline incomparable across rounds, VERDICT r04
+weak #3 / next #2). The pin is the median of 7 back-to-back idle-host runs
+measured 2026-08-19 on this image (see that constant's comment for the raw
+runs); `vs_baseline` divides the pin by our measurement, and the live
+re-measurement is still recorded as `extra.baseline_live_ms` so drift stays
+visible without contaminating the headline ratio.
 """
 from __future__ import annotations
 
@@ -128,6 +140,9 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
                               positions=jnp.asarray(positions),
                               bag=jnp.asarray(bag))
         rng = jax.random.PRNGKey(0)
+        # op-by-op on purpose: jitting init+act into two CPU programs was
+        # measured NOT to help (97.5 s vs 89.5 s — the one-shot CPU compile
+        # costs what the op-by-op dispatch costs on this single-core host)
         params = agent.init(rng, obs_cpu, rng, method=agent.act)
         actions = agent.apply(params, obs_cpu, rng, False,
                               method=agent.act).action_flat
@@ -141,6 +156,43 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
         logp, ent, v = agent.apply(p, obs, actions, method=agent.evaluate)
         # PPO-shaped scalar: policy + value + entropy terms all contribute
         return jnp.mean(logp) + 0.5 * jnp.mean(jnp.square(v)) + 0.01 * jnp.mean(ent)
+
+    return jax.jit(jax.grad(loss_fn)), params
+
+
+def build_internal_grad_fn():
+    """Grad program for the second model family (reference ICML-2020 SchNet
+    agent) at the same SF6 minibatch — shared between the ms_internal_agent
+    extra and scripts/warm_bench_cache.py so the warm and the measurement
+    produce the same jit key."""
+    import jax
+    import jax.numpy as jnp
+
+    from molgym_tpu.agents.schnet import make_schnet_agent
+    from molgym_tpu.spaces import Observation
+    agent = make_schnet_agent(num_zs=len(ZS), canvas_size=CANVAS,
+                              network_width=WIDTH,
+                              min_max_distance=(1.10, 2.10),
+                              n_interactions=3)
+    elements, positions, bag = make_batch()
+    with jax.default_device(jax.devices('cpu')[0]):
+        obs_cpu = Observation(elements=jnp.asarray(elements),
+                              positions=jnp.asarray(positions),
+                              bag=jnp.asarray(bag))
+        rng = jax.random.PRNGKey(0)
+        params = agent.init(rng, obs_cpu, rng, method=agent.act)
+        actions = agent.apply(params, obs_cpu, rng, False,
+                              method=agent.act).action_flat
+    dev = jax.devices()[0]
+    obs = jax.device_put(obs_cpu, dev)
+    params = jax.device_put(params, dev)
+    actions = jax.device_put(actions, dev)
+
+    def loss_fn(p):
+        logp, ent, v = agent.apply(p, obs, actions,
+                                   method=agent.evaluate)
+        return (jnp.mean(logp) + 0.5 * jnp.mean(jnp.square(v))
+                + 0.01 * jnp.mean(ent))
 
     return jax.jit(jax.grad(loss_fn)), params
 
@@ -194,11 +246,18 @@ PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (XLA multiplies f32 in bf16 passes)
 def bench_ours(iters=30):
     import jax
 
-    _enable_compile_cache()
+    import os
+
+    from molgym_tpu.tools.util import enable_compile_cache
+    cache_dir = enable_compile_cache()
+    try:  # count BEFORE the headline compile adds its own entry
+        entries = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        entries = -1
     grad_fn, params = build_grad_fn()
     ms = time_grad(grad_fn, params, iters)
     log(f'ours: {ms:.2f} ms/minibatch on {jax.devices()[0]}')
-    return ms, grad_fn, params
+    return ms, grad_fn, params, cache_dir, entries
 
 
 def bench_env_steps_qm(pipelined: bool, method: str = 'EHT', reps: int = 3):
@@ -290,30 +349,44 @@ def bench_auto_transport(method: str = 'EHT') -> str:
     return rollout.choice
 
 
-def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
-    """Secondary metrics, cheapest first. Each extra carries a conservative
-    wall-clock estimate scaled by the HEADLINE's observed compile time (warm
-    persistent cache => seconds; cold tunneled-TPU compile => minutes) and is
-    skipped when the remaining budget cannot cover it — the deadline is
-    enforced BEFORE committing to an unboundable compile, not after
-    (VERDICT r02 item 1)."""
-    extras = {}
+def collect_extras(headline, grad_fn140, params140, ms140, deadline,
+                   compile_s, cache_dir):
+    """Secondary metrics. Non-flagship extras carry a conservative wall-clock
+    estimate scaled by the HEADLINE's observed compile time (warm persistent
+    cache => seconds; cold tunneled-TPU compile => minutes) and are skipped
+    when the remaining budget cannot cover it. The three FLAGSHIP extras
+    (mfu_est_pct, env_steps_per_sec_pm6, ms_bf16_2240 — the north-star
+    metrics of BASELINE.json) run UNCONDITIONALLY, deadline or not: four
+    rounds of BENCH history show the deadline guard produces empty records
+    under a cold cache (r01 no extras, r02 rc=124, r03 PM6 skipped, r04
+    everything skipped), and the driver tolerates overrun (r04: rc=0 at
+    -465 s). The full record is re-printed to stdout after every completed
+    extra, so a kill mid-extras loses only the unfinished ones."""
+    extras = headline['extra']
     skipped = []
     # A fresh program shape costs about one headline compile; never assume
     # less than 30 s for the tunneled-TPU round trips.
     c = max(compile_s, 30.0)
 
-    def guard(name, fn, est_s):
+    def emit():
+        extras['skipped'] = skipped
+        print(json.dumps(headline), flush=True)
+
+    def guard(name, fn, est_s, flagship=False):
         remaining = deadline - time.time()
-        if remaining < est_s:
+        if not flagship and remaining < est_s:
             log(f'extra {name}: skipped (est {est_s:.0f}s > '
                 f'remaining {remaining:.0f}s)')
             skipped.append(name)
             return
+        if flagship and remaining < est_s:
+            log(f'extra {name}: flagship, running despite overrun '
+                f'(est {est_s:.0f}s > remaining {remaining:.0f}s)')
         try:
             extras[name] = fn()
         except Exception as exc:
             log(f'extra {name} failed: {exc!r}')
+        emit()
 
     def mfu140():
         flops = hlo_flops(grad_fn140, params140)
@@ -345,36 +418,8 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
     def internal_agent():
         # second model family (reference ICML-2020 SchNet agent): fwd+bwd
         # per SF6 minibatch through the batched cfconv SchNet encoder
-        import jax
-        import jax.numpy as jnp
-
-        from molgym_tpu.agents.schnet import make_schnet_agent
-        from molgym_tpu.spaces import Observation
-        agent = make_schnet_agent(num_zs=len(ZS), canvas_size=CANVAS,
-                                  network_width=WIDTH,
-                                  min_max_distance=(1.10, 2.10),
-                                  n_interactions=3)
-        elements, positions, bag = make_batch()
-        with jax.default_device(jax.devices('cpu')[0]):
-            obs_cpu = Observation(elements=jnp.asarray(elements),
-                                  positions=jnp.asarray(positions),
-                                  bag=jnp.asarray(bag))
-            rng = jax.random.PRNGKey(0)
-            params = agent.init(rng, obs_cpu, rng, method=agent.act)
-            actions = agent.apply(params, obs_cpu, rng, False,
-                                  method=agent.act).action_flat
-        dev = jax.devices()[0]
-        obs = jax.device_put(obs_cpu, dev)
-        params = jax.device_put(params, dev)
-        actions = jax.device_put(actions, dev)
-
-        def loss_fn(p):
-            logp, ent, v = agent.apply(p, obs, actions,
-                                       method=agent.evaluate)
-            return (jnp.mean(logp) + 0.5 * jnp.mean(jnp.square(v))
-                    + 0.01 * jnp.mean(ent))
-
-        return round(time_grad(jax.jit(jax.grad(loss_fn)), params), 3)
+        grad_fn, params = build_internal_grad_fn()
+        return round(time_grad(grad_fn, params), 3)
 
     def einsum_agg():
         # the default aggregate backend is the fused Pallas kernel on TPU
@@ -387,10 +432,12 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
         finally:
             set_aggregate_backend('auto')
 
-    # Headline robustness markers first (free): was the persistent cache warm
-    # for the headline program, and what does an immediate re-measurement of
-    # the SAME compiled program read (host-load variance is ~1 ms on the
-    # tunneled chip — VERDICT r03 weak #3 / next #8).
+    # Headline robustness + forensic markers first (free): was the persistent
+    # cache warm for the headline program, how many entries the cache dir
+    # held when the run started (one-look forensics for a cold capture,
+    # VERDICT r04 next #1c), and what an immediate re-measurement of the SAME
+    # compiled program reads (host-load variance is ~1 ms on the tunneled
+    # chip — VERDICT r03 weak #3 / next #8).
     extras['cache_warm'] = bool(compile_s < 10.0)
     extras['headline_compile_s'] = round(compile_s, 1)
     try:
@@ -398,15 +445,24 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
             time_grad(grad_fn140, params140, iters=30), 3)
     except Exception as exc:
         log(f'headline rerun failed: {exc!r}')
+    emit()
 
-    guard('mfu_est_pct', mfu140, est_s=120)  # CPU lowering, no TPU compile
-    # The flagship architecture claim (host-QM reward pipeline, SURVEY §7
-    # hard-part 3) runs FIRST among the TPU extras — it missed the official
-    # record in r02+r03 because cheaper extras drained the budget before it
-    # (VERDICT r03 next #1). The rollout TPU programs are backend-agnostic
-    # (the QM happens host-side), so EHT/auto reuse the PM6 compiles.
+    # FLAGSHIP extras run first and unconditionally (north-star metrics):
+    # mfu_est_pct needs no TPU compile at all (CPU lowering); the host-QM
+    # reward pipeline (SURVEY §7 hard-part 3) and the native-rate bf16
+    # saturation point are the two headline architecture claims.
+    guard('mfu_est_pct', mfu140, est_s=120, flagship=True)
     guard('env_steps_per_sec_pm6',
-          lambda: round(bench_env_steps_qm(True, 'PM6'), 1), est_s=c + 120)
+          lambda: round(bench_env_steps_qm(True, 'PM6'), 1),
+          est_s=c + 120, flagship=True)
+    guard('ms_bf16_2240', bf16_2240, est_s=2 * c + 120, flagship=True)
+    # live torch proxy re-measurement (vs the pinned denominator): host-load
+    # drift marker, ~70 s of pure CPU
+    guard('baseline_live_ms', lambda: round(bench_torch_baseline(), 1),
+          est_s=90, flagship=True)
+    # Deadline-guarded secondaries. The rollout TPU programs are
+    # backend-agnostic (the QM happens host-side), so EHT/auto reuse the
+    # PM6 compiles from the flagship pass.
     guard('auto_transport_pm6', lambda: bench_auto_transport('PM6'),
           est_s=c + 90)  # compiles the serial program; A/B reps are cheap
     guard('env_steps_per_sec_eht',
@@ -419,9 +475,6 @@ def collect_extras(grad_fn140, params140, ms140, deadline, compile_s):
     guard('ms_internal_agent', internal_agent, est_s=c + 60)
     guard('ms_einsum_agg', einsum_agg, est_s=c + 60)
     guard('ms_batch_2240', batch_2240, est_s=2 * c + 120)
-    guard('ms_bf16_2240', bf16_2240, est_s=2 * c + 120)
-    if skipped:
-        extras['skipped'] = skipped
     return extras
 
 
@@ -572,32 +625,41 @@ def bench_torch_baseline(iters=3):
     return ms
 
 
-def main():
-    deadline = time.time() + float(
-        __import__('os').environ.get('MOLGYM_BENCH_BUDGET_S', 900))
-    ours_ms, grad_fn, params = bench_ours()
-    compile_s = LAST_COMPILE_S
-    try:
-        baseline_ms = bench_torch_baseline()
-    except Exception as exc:  # baseline must never break the bench line
-        log(f'torch baseline failed: {exc!r}')
-        baseline_ms = float('nan')
+# Pinned torch-CPU baseline denominator (VERDICT r04 next #2): median of 7
+# back-to-back idle-host runs of bench_torch_baseline() on this image,
+# 2026-08-19: [7318.9, 7661.3, 7830.7, 7986.2, 8260.3, 8691.2, 9582.4] ms
+# (also recorded in experiments/perf/README.md "Pinned baseline").
+# vs_baseline is comparable across rounds by construction from r05 on; the
+# live proxy is still re-measured into extra.baseline_live_ms so drift stays
+# visible without contaminating the headline ratio.
+BASELINE_PIN_MS = 7986.2
 
-    vs_baseline = (baseline_ms / ours_ms) if np.isfinite(baseline_ms) else 0.0
+
+def main():
+    import os
+    started = time.time()
+    deadline = started + float(os.environ.get('MOLGYM_BENCH_BUDGET_S', 900))
+    ours_ms, grad_fn, params, cache_dir, cache_entries = bench_ours()
+    compile_s = LAST_COMPILE_S
     headline = {
         'metric': 'sf6_covariant_fwdbwd_ms_per_minibatch',
         'value': round(ours_ms, 3),
         'unit': 'ms',
-        'vs_baseline': round(vs_baseline, 3),
-        'extra': {},
+        'vs_baseline': round(BASELINE_PIN_MS / ours_ms, 3),
+        'extra': {
+            'baseline_pin_ms': BASELINE_PIN_MS,
+            'bench_started_unix': int(started),
+            'cache_dir': cache_dir,
+            'cache_entries_at_start': cache_entries,
+        },
     }
     # Print the headline NOW: extras must never be able to lose the number.
     print(json.dumps(headline), flush=True)
 
-    headline['extra'] = collect_extras(grad_fn, params, ours_ms, deadline,
-                                       compile_s)
-    # Final stdout line carries the enriched record; first-line and
-    # last-line parsers both get a valid JSON object.
+    collect_extras(headline, grad_fn, params, ours_ms, deadline, compile_s,
+                   cache_dir)
+    # Final stdout line carries the full record; first-line and last-line
+    # parsers both get a valid JSON object.
     print(json.dumps(headline), flush=True)
 
 
