@@ -31,6 +31,14 @@ def parse_entry(data: bytes) -> Tuple[str, Atoms, dict]:
             raise ParserError(f'Unexpected properties line: {lines[1]!r}')
         gdb_id = props[1]
 
+        # full record = natoms + properties + coords + freqs + smiles + inchi;
+        # a truncated archive member must be a clean skip, not a non-coord
+        # line silently sliding into the coordinate block (the reference's
+        # record regex would simply fail to match, qm9_parser.py:16-27)
+        if len(lines) < 2 + n_atoms + 3:
+            raise ParserError(f'truncated record: {len(lines)} lines for '
+                              f'{n_atoms} atoms')
+
         symbols, positions = [], []
         for row in lines[2:2 + n_atoms]:
             parts = row.split()
@@ -41,7 +49,9 @@ def parse_entry(data: bytes) -> Tuple[str, Atoms, dict]:
         smiles_line = lines[2 + n_atoms + 1].split()
         info = {'smiles': smiles_line[-1]}
         return gdb_id, Atoms(symbols, positions), info
-    except (ValueError, IndexError, UnicodeDecodeError) as exc:
+    except (ValueError, KeyError, IndexError, UnicodeDecodeError) as exc:
+        # KeyError: a non-element token in the symbol column
+        # (Atoms -> periodic.ATOMIC_NUMBERS lookup)
         raise ParserError(str(exc))
 
 

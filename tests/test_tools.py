@@ -189,6 +189,25 @@ InChI=1S/CH4/h1H4 InChI=1S/CH4/h1H4
 """
 
 
+def _gdb_record(gdb_id: int, symbols, smiles: str, rng) -> bytes:
+    """A synthetic but format-exact GDB9 record (random small geometry)."""
+    lines = [str(len(symbols))]
+    props = ['gdb', str(gdb_id)] + [f'{rng.randn():.4f}' for _ in range(15)]
+    if gdb_id % 3 == 0:  # the dataset's *^ exponent quirk, properties line
+        props[5] = '1.2*^-3'
+    lines.append('\t'.join(props))
+    for i, sym in enumerate(symbols):
+        x, y, z = rng.randn(3) * 1.2
+        if gdb_id % 5 == 0 and i == 0:  # *^ quirk in a coordinate column
+            lines.append(f'{sym}\t{x:.4f}*^0\t{y:.6f}\t{z:.6f}\t0.0')
+        else:
+            lines.append(f'{sym}\t{x:.6f}\t{y:.6f}\t{z:.6f}\t0.0')
+    lines.append('\t'.join(['100.0'] * max(1, 3 * len(symbols) - 6)))
+    lines.append(f'{smiles}\t{smiles}')
+    lines.append('InChI=1S/x\tInChI=1S/x')
+    return ('\n'.join(lines) + '\n').encode('ascii')
+
+
 class TestQM9Parser:
     def test_parse_tar(self, tmp_path):
         tar_path = str(tmp_path / 'gdb9.tar')
@@ -203,6 +222,85 @@ class TestQM9Parser:
         assert gdb_id == '1'
         assert atoms.symbols == ['C', 'H', 'H']
         assert meta['smiles'] == 'C'
+
+    def test_fuzz_archive_skip_and_count(self, tmp_path, capsys):
+        """~1,000-record archive with adversarial members mixed in: the
+        parser must yield every well-formed record and SKIP (not crash on)
+        every malformed one, matching the reference's regex-reject semantics
+        (molgym/tools/qm9_parser.py:29-47). Covers: *^ exponents in
+        properties and coordinate columns, blank SMILES lines, truncated
+        records (frequency line sliding into the coordinate block), bogus
+        element symbols, non-ascii bytes, empty members (VERDICT r04
+        next #5)."""
+        rng = np.random.RandomState(0)
+        pool = [(['C', 'H', 'H', 'H', 'H'], 'C'),
+                (['N', 'H', 'H', 'H'], 'N'),
+                (['C', 'C', 'H', 'H', 'H', 'H', 'H', 'H'], 'CC'),
+                (['C', 'O', 'H', 'H', 'H', 'H'], 'CO'),
+                (['C', 'N', 'H'], 'C#N'),
+                (['C', 'F', 'H', 'H', 'H'], 'CF')]
+        n_good, n_bad = 940, 60
+        tar_path = str(tmp_path / 'gdb9_fuzz.tar')
+        good_ids = []
+        with tarfile.open(tar_path, 'w') as tar:
+            def add(name, data):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+
+            bad_slots = set(rng.choice(n_good + n_bad, size=n_bad,
+                                       replace=False).tolist())
+            gdb_id = 0
+            for slot in range(n_good + n_bad):
+                gdb_id += 1
+                name = f'dsgdb9nsd_{gdb_id:06d}.xyz'
+                if slot not in bad_slots:
+                    symbols, smiles = pool[slot % len(pool)]
+                    add(name, _gdb_record(gdb_id, symbols, smiles, rng))
+                    good_ids.append(str(gdb_id))
+                    continue
+                kind = slot % 6
+                base = _gdb_record(gdb_id, ['C', 'H', 'H', 'H', 'H'], 'C',
+                                   rng)
+                if kind == 0:    # truncated mid-coordinates: freq line
+                    lines = base.splitlines()  # slides into the coord block
+                    add(name, b'\n'.join(lines[:4] + lines[7:]) + b'\n')
+                elif kind == 1:  # blank SMILES line
+                    lines = base.splitlines()
+                    lines[-2] = b''
+                    add(name, b'\n'.join(lines) + b'\n')
+                elif kind == 2:  # truncated after the properties line
+                    add(name, b'\n'.join(base.splitlines()[:2]) + b'\n')
+                elif kind == 3:  # bogus element symbol
+                    add(name, base.replace(b'C\t', b'Qq\t', 1))
+                elif kind == 4:  # non-ascii garbage
+                    add(name, b'\xff\xfe' + base[2:])
+                else:            # empty member
+                    add(name, b'')
+        entries = list(parse_dataset(tar_path))
+        assert [e[0] for e in entries] == good_ids
+        assert len(entries) == n_good
+        # every skip is reported (skip-and-count semantics)
+        out = capsys.readouterr().out
+        assert out.count('Could not parse') == n_bad
+        # strict mode raises on the first malformed member instead
+        from molgym_tpu.tools.qm9_parser import ParserError
+        with pytest.raises(ParserError):
+            list(parse_dataset(tar_path, strict=True))
+
+    def test_parse_entry_coordinate_exponent_fixup(self, tmp_path):
+        """A *^ exponent inside a coordinate column (present in the real
+        GDB9 tar) round-trips through the archive-level fixup."""
+        rng = np.random.RandomState(1)
+        data = _gdb_record(5, ['C', 'H', 'H', 'H', 'H'], 'C', rng)
+        assert b'*^' in data
+        tar_path = str(tmp_path / 'one.tar')
+        with tarfile.open(tar_path, 'w') as tar:
+            info = tarfile.TarInfo('dsgdb9nsd_000005.xyz')
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        (gdb_id, atoms, meta), = list(parse_dataset(tar_path))
+        assert gdb_id == '5' and len(atoms) == 5 and meta['smiles'] == 'C'
 
 
 class TestAnalysisToolkit:
