@@ -108,25 +108,25 @@ struct PairCC {
   double alpha, x;
 };
 
-// (alpha, x): H-H and O-H Sparrow-calibrated; anchor-fit pairs calibrated
-// in-tree against experimental atomization energies + bond lengths
-// (experiments/pm6_anchor_fit/, must stay bit-identical to
-// nddo_ref.py PM6_PAIR_PARAMS); rest = recalled published table with the
-// 2x convention the calibration exposed (nddo_ref.py).
+// (alpha, x): H-H and O-H Sparrow-calibrated; every other pair the
+// experiment families exercise is anchor-fit in-tree against experimental
+// atomization energies + bond lengths (experiments/pm6_anchor_fit/, must
+// stay bit-identical to nddo_ref.py PM6_PAIR_PARAMS — the per-pair
+// provenance comments live there).
 static const PairCC kPairs[] = {
-    {1, 1, 3.523116597, 4.535283120}, {1, 6, 1.027806, 0.433012},
-    {1, 7, 0.969406, 0.351012},       {1, 8, 1.251075737, 0.384906880},
-    {1, 9, 3.136740, 1.631604},       {1, 16, 2.000000, 1.456853},
-    {1, 17, 2.000015, 1.012454},      {6, 6, 2.613713, 1.627020},
-    {6, 7, 2.686108, 1.719898},       {6, 8, 2.889607, 1.980422},
-    {6, 9, 2.969881, 1.465936},       {6, 16, 2.210533, 1.333400},
-    {6, 17, 2.000000, 0.833585},      {7, 7, 2.574502, 1.350626},
-    {7, 8, 2.784292, 1.529512},       {7, 9, 2.856543, 1.268340},
-    {8, 8, 2.394117, 1.324384},       {8, 9, 3.015444, 1.348502},
+    {1, 1, 3.523116597, 4.535283120}, {1, 6, 2.000000, 1.282168},
+    {1, 7, 0.900000, 0.388491},       {1, 8, 1.251075737, 0.384906880},
+    {1, 9, 2.844553, 1.136670},       {1, 16, 2.000000, 1.456853},
+    {1, 17, 2.000015, 1.012454},      {6, 6, 2.328918, 1.332038},
+    {6, 7, 2.000000, 1.117268},       {6, 8, 2.000000, 0.958763},
+    {6, 9, 2.253729, 0.678285},       {6, 16, 2.210533, 1.333400},
+    {6, 17, 2.040729, 0.871138},      {7, 7, 2.000000, 0.962528},
+    {7, 8, 2.000000, 0.931884},       {7, 9, 2.823688, 1.629597},
+    {8, 8, 2.394117, 1.324384},       {8, 9, 3.003630, 1.859423},
     {8, 16, 2.000137, 1.453441},      {9, 9, 3.439433, 1.885009},
     {9, 16, 2.116469, 0.630170},      {16, 16, 1.792625, 0.959002},
     {17, 17, 2.068055, 0.901000},
-    {1, 35, 2.115282, 1.238931},     {6, 35, 2.014177, 1.028765},
+    {1, 35, 2.115282, 1.238931},     {6, 35, 2.313587, 1.639005},
     {35, 35, 2.843407, 6.216140},
 };
 

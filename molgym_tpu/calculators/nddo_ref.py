@@ -186,30 +186,32 @@ PM6_PARAMS: Dict[int, ElementParams] = {
 # (H-H, O-H) and golden-coupled element blocks are untouched.
 PM6_PAIR_PARAMS: Dict[Tuple[int, int], Tuple[float, float]] = {
     (1, 1): (3.523116597, 4.535283120),
-    (1, 6): (1.027806, 0.433012),
-    (1, 7): (0.969406, 0.351012),
+    (1, 6): (2.000000, 1.282168),    # anchor-fit: CH4 (round 5)
+    (1, 7): (0.900000, 0.388491),    # anchor-fit: NH3 (round 5; R^2-form
+                                     # pair => locality bound alpha >= 0.9,
+                                     # see pm6_anchor_fit/README round 5)
     (1, 8): (1.251075737, 0.384906880),
-    (1, 9): (3.136740, 1.631604),
+    (1, 9): (2.844553, 1.136670),    # anchor-fit: HF (round 5)
     (1, 16): (2.000000, 1.456853),   # anchor-fit: H2S
     (1, 17): (2.000015, 1.012454),   # anchor-fit: HCl
-    (6, 6): (2.613713, 1.627020),
-    (6, 7): (2.686108, 1.719898),
-    (6, 8): (2.889607, 1.980422),
-    (6, 9): (2.969881, 1.465936),
+    (6, 6): (2.328918, 1.332038),    # anchor-fit: C2H6 + C2H4 jointly (r5)
+    (6, 7): (2.000000, 1.117268),    # anchor-fit: HCN (round 5)
+    (6, 8): (2.000000, 0.958763),    # anchor-fit: CH3OH + CO2 jointly (r5)
+    (6, 9): (2.253729, 0.678285),    # anchor-fit: CH3F (round 5)
     (6, 16): (2.210533, 1.333400),
-    (6, 17): (2.000000, 0.833585),   # anchor-fit: CH3Cl
-    (7, 7): (2.574502, 1.350626),
-    (7, 8): (2.784292, 1.529512),
-    (7, 9): (2.856543, 1.268340),
+    (6, 17): (2.040729, 0.871138),   # anchor-fit: CH3Cl (re-fit r5 after C-H)
+    (7, 7): (2.000000, 0.962528),    # anchor-fit: N2 (round 5)
+    (7, 8): (2.000000, 0.931884),    # anchor-fit: NO doublet (round 5)
+    (7, 9): (2.823688, 1.629597),    # anchor-fit: NF3 (round 5)
     (8, 8): (2.394117, 1.324384),    # anchor-fit: O2 (triplet)
-    (8, 9): (3.015444, 1.348502),
+    (8, 9): (3.003630, 1.859423),    # anchor-fit: F2O (round 5)
     (8, 16): (2.000137, 1.453441),   # anchor-fit: SO2
     (9, 9): (3.439433, 1.885009),    # anchor-fit: F2
     (9, 16): (2.116469, 0.630170),   # anchor-fit: SF6 + SF4 jointly
     (16, 16): (1.792625, 0.959002),
     (17, 17): (2.068055, 0.901000),  # anchor-fit: Cl2
     (1, 35): (2.115282, 1.238931),   # anchor-fit: HBr
-    (6, 35): (2.014177, 1.028765),   # anchor-fit: CH3Br
+    (6, 35): (2.313587, 1.639005),   # anchor-fit: CH3Br (re-fit r5 after C-H)
     (35, 35): (2.843407, 6.216140),  # anchor-fit: Br2
 }
 

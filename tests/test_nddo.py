@@ -6,6 +6,8 @@ tests/resources/{energy,gradients}.dat) reproduced WITHOUT scine: the
 energies come from the in-tree C++ NDDO SCF (csrc/nddo.cpp), cross-checked
 against the pure-numpy oracle (calculators/nddo_ref.py).
 """
+import math
+
 import numpy as np
 import pytest
 
@@ -631,6 +633,165 @@ class TestThermochemistryAnchors:
         r, e = _opt_bond(f, 1.6, 2.0)
         assert abs(e - (-375.8)) < 12.0, e  # exp -375.8
         assert abs(r - 1.785) < 0.03, r
+
+
+def _pyramid_pos(zc, zx, r, xcx_deg):
+    import math
+    ang = math.radians(xcx_deg)
+    ct2 = (math.cos(ang) + 0.5) / 1.5
+    theta = math.acos(math.sqrt(max(ct2, 0.0)))
+    zs = [zc, zx, zx, zx]
+    pos = [[0.0, 0.0, 0.0]]
+    for k in range(3):
+        phi = 2 * math.pi * k / 3
+        pos.append([r * math.sin(theta) * math.cos(phi),
+                    r * math.sin(theta) * math.sin(phi),
+                    r * math.cos(theta)])
+    return zs, pos
+
+
+class TestOrganicAnchors:
+    """Round-5 anchor lock-in for the organic + hetero pair constants
+    (experiments/pm6_anchor_fit/README.md round-5 tables; VERDICT r04
+    next #3). Tolerances state the ACHIEVED accuracy — a parameter change
+    that regresses any of these thermochemistry targets fails here. The
+    documented residuals (C2H4/CH3OH/CO2 joint-fit compromises, the long
+    NH3/NF3 bonds — all O/N sp-block limits under the alpha>=2 locality
+    bound) are locked at their achieved values, not at experiment."""
+
+    KCAL = 627.509474
+
+    def _atomization(self, zs, pos, multiplicity=None):
+        if multiplicity is not None:
+            calc = NativeCalc(method='PM6')
+            calc.set_elements(zs)
+            calc.set_positions(np.asarray(pos, dtype=float))
+            calc.set_settings({'molecular_charge': 0,
+                               'spin_multiplicity': multiplicity})
+            e = calc.calculate_energy()
+        else:
+            e = _cpp_energy(zs, pos)
+        atoms = sum(_cpp_energy([z], [[0, 0, 0]]) for z in zs)
+        return (e - atoms) * self.KCAL
+
+    @pytest.mark.parametrize('name,zs,lo,hi,target_e,tol_e,target_r,tol_r,mult', [
+        ('HF', [1, 9], 0.8, 1.1, -136.1, 6.0, 0.917, 0.03, None),
+        ('N2', [7, 7], 0.95, 1.35, -225.9, 12.0, 1.098, 0.08, None),
+        # NO doublet: achieved -166.1 vs exp -150.9 (N/O sp-block residual)
+        ('NO', [7, 8], 1.0, 1.4, -150.9, 22.0, 1.151, 0.09, 2),
+    ])
+    def test_diatomic(self, name, zs, lo, hi, target_e, tol_e, target_r,
+                      tol_r, mult):
+        def f(r):
+            return self._atomization(zs, [[0, 0, 0], [r, 0, 0]], mult)
+        r, e = _opt_bond(f, lo, hi)
+        assert abs(e - target_e) < tol_e, (name, e)
+        assert abs(r - target_r) < tol_r, (name, r)
+
+    def test_ch4(self):
+        def f(rch):
+            s = rch / math.sqrt(3)
+            return self._atomization(
+                [6, 1, 1, 1, 1],
+                [[0, 0, 0], [s, s, s], [s, -s, -s], [-s, s, -s], [-s, -s, s]])
+        r, e = _opt_bond(f, 0.95, 1.3)
+        assert abs(e - (-397.2)) < 8.0, e  # exp -397.2, achieved -399.3
+        assert abs(r - 1.087) < 0.03, r
+
+    def test_c2h6(self):
+        hcc = math.radians(180.0 - 111.2)
+
+        def f(rcc):
+            zs = [6, 6]
+            pos = [[0, 0, 0], [0, 0, rcc]]
+            for k in range(3):
+                phi = 2 * math.pi * k / 3
+                pos.append([1.091 * math.sin(hcc) * math.cos(phi),
+                            1.091 * math.sin(hcc) * math.sin(phi),
+                            -1.091 * math.cos(hcc)])
+                zs.append(1)
+            for k in range(3):
+                phi = 2 * math.pi * k / 3 + math.pi / 3
+                pos.append([1.091 * math.sin(hcc) * math.cos(phi),
+                            1.091 * math.sin(hcc) * math.sin(phi),
+                            rcc + 1.091 * math.cos(hcc)])
+                zs.append(1)
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 1.35, 1.75)
+        assert abs(e - (-674.6)) < 10.0, e  # exp -674.6, achieved -670.9
+        assert abs(r - 1.536) < 0.06, r
+
+    def test_c2h4(self):
+        half = math.radians(117.4 / 2)
+
+        def f(rcc):
+            zs = [6, 6, 1, 1, 1, 1]
+            pos = [[0, 0, 0], [0, 0, rcc],
+                   [1.087 * math.sin(half), 0, -1.087 * math.cos(half)],
+                   [-1.087 * math.sin(half), 0, -1.087 * math.cos(half)],
+                   [1.087 * math.sin(half), 0, rcc + 1.087 * math.cos(half)],
+                   [-1.087 * math.sin(half), 0, rcc + 1.087 * math.cos(half)]]
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 1.2, 1.5)
+        # exp -537.7; achieved -564.3 — the C-C pair's C2H6/C2H4 joint-fit
+        # compromise (single bond prioritized), locked at the achieved value
+        assert abs(e - (-564.3)) < 12.0, e
+        assert abs(r - 1.339) < 0.03, r
+
+    def test_nh3(self):
+        def f(rnh):
+            zs, pos = _pyramid_pos(7, 1, rnh, 106.7)
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 0.9, 1.4)
+        # exp -280.3 / 1.012; achieved -291.7 / 1.070 with the R^2-form
+        # locality bound alpha >= 0.9 (pm6_anchor_fit/README round 5)
+        assert abs(e - (-280.3)) < 16.0, e
+        assert abs(r - 1.012) < 0.09, r
+
+    def test_hcn(self):
+        def f(rcn):
+            return self._atomization(
+                [1, 6, 7], [[0, 0, -1.065], [0, 0, 0], [0, 0, rcn]])
+        r, e = _opt_bond(f, 1.0, 1.35)
+        assert abs(e - (-303.7)) < 16.0, e  # exp -303.7, achieved -312.2
+        assert abs(r - 1.153) < 0.07, r
+
+    def test_co2(self):
+        def f(rco):
+            return self._atomization(
+                [6, 8, 8], [[0, 0, 0], [0, 0, rco], [0, 0, -rco]])
+        r, e = _opt_bond(f, 1.05, 1.35)
+        # exp -384.1; achieved -429.1 — CH3OH+CO2 joint-fit compromise on
+        # top of the O sp-block overbinding; pre-fit was -668.7
+        assert abs(e - (-429.1)) < 20.0, e
+        assert abs(r - 1.162) < 0.15, r
+
+    def test_ch3f(self):
+        hc = math.radians(180.0 - 108.4)
+
+        def f(rcf):
+            pos = [[0, 0, 0], [0, 0, rcf]]
+            zs = [6, 9]
+            for k in range(3):
+                phi = 2 * math.pi * k / 3
+                pos.append([1.09 * math.sin(hc) * math.cos(phi),
+                            1.09 * math.sin(hc) * math.sin(phi),
+                            -1.09 * math.cos(hc)])
+                zs.append(1)
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 1.2, 1.6)
+        assert abs(e - (-402.9)) < 8.0, e  # exp -402.9, achieved exact
+        assert abs(r - 1.383) < 0.03, r
+
+    def test_nf3(self):
+        def f(rnf):
+            zs, pos = _pyramid_pos(7, 9, rnf, 102.4)
+            return self._atomization(zs, pos)
+        r, e = _opt_bond(f, 1.2, 1.65)
+        # exp -201.2; achieved -208.0 with the bond running long (1.53 vs
+        # 1.365) — N sp-block residual, locked at achieved
+        assert abs(e - (-201.2)) < 15.0, e
+        assert abs(r - 1.533) < 0.12, r
 
 
 class TestChlorine:
