@@ -350,7 +350,7 @@ def bench_auto_transport(method: str = 'EHT') -> str:
 
 
 def collect_extras(headline, grad_fn140, params140, ms140, deadline,
-                   compile_s, cache_dir):
+                   compile_s):
     """Secondary metrics. Non-flagship extras carry a conservative wall-clock
     estimate scaled by the HEADLINE's observed compile time (warm persistent
     cache => seconds; cold tunneled-TPU compile => minutes) and are skipped
@@ -656,8 +656,7 @@ def main():
     # Print the headline NOW: extras must never be able to lose the number.
     print(json.dumps(headline), flush=True)
 
-    collect_extras(headline, grad_fn, params, ours_ms, deadline, compile_s,
-                   cache_dir)
+    collect_extras(headline, grad_fn, params, ours_ms, deadline, compile_s)
     # Final stdout line carries the full record; first-line and last-line
     # parsers both get a valid JSON object.
     print(json.dumps(headline), flush=True)
