@@ -133,16 +133,6 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
     util.set_seeds(config['seed'])
     select_platform(config.get('device', 'auto'),
                     num_devices=config.get('num_devices', 0) or 0)
-    # Persistent XLA compile cache: on TPU each new program shape costs a
-    # multi-minute tunneled remote compile (and the remote queue can wedge
-    # for ~20 min — experiments/perf/README.md round 5), so multi-seed /
-    # resumed runs of the same config must not pay it again. No-op on the
-    # CPU backend (see enable_compile_cache);
-    # MOLGYM_TPU_XLA_CACHE_DISABLE=1 opts out entirely.
-    if os.environ.get('MOLGYM_TPU_XLA_CACHE_DISABLE', '') != '1':
-        cache_dir = util.enable_compile_cache()
-        if cache_dir:
-            logging.info(f'Persistent XLA compile cache: {cache_dir}')
     if config.get('agg_backend'):
         from molgym_tpu.ops.cg import set_aggregate_backend
         set_aggregate_backend(config['agg_backend'])
@@ -166,6 +156,19 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         logging.info(f'jax.distributed initialized: process {rank} of '
                      f'{jax.process_count()}')
     logging.info(f'JAX devices: {jax.devices()}')
+
+    # Persistent XLA compile cache: on TPU each new program shape costs a
+    # multi-minute tunneled remote compile (and the remote queue can wedge
+    # for ~20 min — experiments/perf/README.md round 5), so multi-seed /
+    # resumed runs of the same config must not pay it again. No-op on the
+    # CPU backend (see enable_compile_cache);
+    # MOLGYM_TPU_XLA_CACHE_DISABLE=1 opts out entirely. Placed AFTER the
+    # jax.distributed block: probing the backend earlier would initialize
+    # it before distributed init (breaks --multihost).
+    if os.environ.get('MOLGYM_TPU_XLA_CACHE_DISABLE', '') != '1':
+        cache_dir = util.enable_compile_cache()
+        if cache_dir:
+            logging.info(f'Persistent XLA compile cache: {cache_dir}')
 
     zs = symbols_to_zs(config['symbols'])
     observation_space = ObservationSpace(canvas_size=config['canvas_size'], zs=zs)
