@@ -61,6 +61,38 @@ ANCHOR_MOLECULES = {
     'CH3Br': (['C', 'Br', 'H', 'H', 'H'],
               [[0, 0, 0], [1.94, 0, 0], [-0.36, 1.03, 0],
                [-0.36, -0.51, 0.89], [-0.36, -0.51, -0.89]], 1),
+    # round-5 organic + hetero anchors (experiments/pm6_anchor_fit/README.md
+    # round-5 tables): every H/C/N/O/F pair the experiment families bond
+    'CH4': (['C', 'H', 'H', 'H', 'H'],
+            [[0, 0, 0], [0.63, 0.63, 0.63], [0.63, -0.63, -0.63],
+             [-0.63, 0.63, -0.63], [-0.63, -0.63, 0.63]], 1),
+    'C2H6': (['C', 'C', 'H', 'H', 'H', 'H', 'H', 'H'],
+             [[0, 0, 0], [0, 0, 1.54], [1.02, 0, -0.39],
+              [-0.51, 0.88, -0.39], [-0.51, -0.88, -0.39],
+              [-1.02, 0, 1.93], [0.51, 0.88, 1.93], [0.51, -0.88, 1.93]], 1),
+    'C2H4': (['C', 'C', 'H', 'H', 'H', 'H'],
+             [[0, 0, 0], [0, 0, 1.34], [0.93, 0, -0.56], [-0.93, 0, -0.56],
+              [0.93, 0, 1.90], [-0.93, 0, 1.90]], 1),
+    'NH3': (['N', 'H', 'H', 'H'],
+            [[0, 0, 0], [0.94, 0, 0.39], [-0.47, 0.81, 0.39],
+             [-0.47, -0.81, 0.39]], 1),
+    'HCN': (['H', 'C', 'N'], [[0, 0, -1.07], [0, 0, 0], [0, 0, 1.15]], 1),
+    'CH3OH': (['C', 'O', 'H', 'H', 'H', 'H'],
+              [[0, 0, 0], [0, 0, 1.43], [-1.00, 0, -0.38],
+               [0.51, 0.88, -0.38], [0.51, -0.88, -0.38],
+               [0.45, 0.78, 1.73]], 1),
+    'CO2': (['C', 'O', 'O'], [[0, 0, 0], [0, 0, 1.17], [0, 0, -1.17]], 1),
+    'N2': (['N', 'N'], [[0, 0, 0], [1.10, 0, 0]], 1),
+    'CH3F': (['C', 'F', 'H', 'H', 'H'],
+             [[0, 0, 0], [1.39, 0, 0], [-0.36, 1.03, 0],
+              [-0.36, -0.51, 0.89], [-0.36, -0.51, -0.89]], 1),
+    'HF': (['F', 'H'], [[0, 0, 0], [0.92, 0, 0]], 1),
+    'NO': (['N', 'O'], [[0, 0, 0], [1.15, 0, 0]], 2),
+    'F2O': (['O', 'F', 'F'],
+            [[0, 0, 0], [1.40, 0, 0], [-0.32, 1.36, 0]], 1),
+    'NF3': (['N', 'F', 'F', 'F'],
+            [[0, 0, 0], [1.28, 0, 0.55], [-0.64, 1.11, 0.55],
+             [-0.64, -1.11, 0.55]], 1),
 }
 
 
