@@ -213,10 +213,20 @@ def batch_ppo(
     host_distance_penalty: float = 0.0,
     host_loop_pipelined: bool = True,
     host_reward_timer=None,
+    eval_sample_k: int = 0,
 ) -> Any:
     """Top-level PPO loop (reference batch_ppo, ppo.py:230-379): alternate
     jitted rollout and jitted multi-epoch update, with JSONL metrics, periodic
-    greedy evaluation and checkpointing on the host."""
+    greedy evaluation and checkpointing on the host.
+
+    eval_sample_k = 0 (default) keeps the reference's greedy (deterministic)
+    evaluation protocol. K > 0 opts into SAMPLED evaluation with K episodes
+    per eval formula: return_mean/std then describe the sampled-episode
+    distribution and an extra `return_best_mean` records the mean over
+    formulas of the per-formula best — the mitigation for the greedy-mode
+    pathology diagnosed in experiments/stochastic_pm6 (a healthy stochastic
+    policy whose argmax at one state is geometrically degenerate scores
+    arbitrarily badly under mode decoding)."""
     assert num_steps_per_iter % num_envs == 0, \
         'num_steps_per_iter must be divisible by num_envs (reference ppo.py:172)'
     steps_per_env = num_steps_per_iter // num_envs
@@ -254,9 +264,11 @@ def batch_ppo(
         # terminates within canvas_size + 1 steps by construction (each step
         # either places an atom — at most canvas_size of them — or terminates
         # the episode), so a scan of this many steps with auto-reset always
-        # completes at least num_eval_episodes episodes, of which the first
-        # num_eval_episodes are kept (asserted below at use).
-        eval_steps = num_eval_episodes * (eval_envs.canvas_size + 1)
+        # completes at least the required episodes, of which the first
+        # total_eval_episodes are kept (asserted below at use).
+        total_eval_episodes = num_eval_episodes * max(1, eval_sample_k)
+        eval_deterministic = eval_sample_k == 0
+        eval_steps = total_eval_episodes * (eval_envs.canvas_size + 1)
         if host_loop_calculator is not None:
             # Under 'auto' the eval rollout follows whichever transport the
             # training selector picked (or pipelined until it has); the two
@@ -270,7 +282,7 @@ def batch_ppo(
                                      else make_host_loop_rollout_fn)
                         _cache[name] = make_loop(
                             eval_envs, agent, host_loop_calculator, eval_steps,
-                            deterministic=True,
+                            deterministic=eval_deterministic,
                             distance_penalty=host_distance_penalty)
                     return _cache[name](p, s, k)
             else:
@@ -279,10 +291,11 @@ def batch_ppo(
                              else make_host_loop_rollout_fn)
                 eval_rollout_fn = make_loop(
                     eval_envs, agent, host_loop_calculator, eval_steps,
-                    deterministic=True, distance_penalty=host_distance_penalty)
+                    deterministic=eval_deterministic,
+                    distance_penalty=host_distance_penalty)
         else:
             eval_rollout_fn = make_rollout_fn(eval_envs, agent, eval_steps,
-                                              deterministic=True)
+                                              deterministic=eval_deterministic)
 
     rng = jax.random.PRNGKey(seed)
     rng, env_key, eval_key = jax.random.split(rng, 3)
@@ -391,18 +404,26 @@ def batch_ppo(
             e_returns, e_lengths = episode_stats(
                 np.asarray(eval_traj.rewards), np.asarray(eval_traj.terminals),
                 config.gamma)
-            assert len(e_returns) >= num_eval_episodes, (
+            assert len(e_returns) >= total_eval_episodes, (
                 f'eval scan of {eval_steps} steps completed only '
                 f'{len(e_returns)} episodes — the canvas_size+1 episode-length '
                 f'bound was violated')
-            e_returns = e_returns[:num_eval_episodes]
-            e_lengths = e_lengths[:num_eval_episodes]
+            e_returns = e_returns[:total_eval_episodes]
+            e_lengths = e_lengths[:total_eval_episodes]
             eval_info = {
                 'return_mean': float(np.mean(e_returns)) if e_returns else float('nan'),
                 'return_std': float(np.std(e_returns)) if e_returns else float('nan'),
                 'episode_length_mean': float(np.mean(e_lengths)) if e_lengths else float('nan'),
                 'episode_length_std': float(np.std(e_lengths)) if e_lengths else float('nan'),
             }
+            if eval_sample_k > 0:
+                # episodes cycle the eval formulas in order (auto-reset
+                # advances formula_cursor), so episode i belongs to formula
+                # i % num_eval_episodes; best-of-K per formula, then mean
+                per_formula = np.asarray(e_returns).reshape(
+                    eval_sample_k, num_eval_episodes)
+                eval_info['return_best_mean'] = float(
+                    np.mean(per_formula.max(axis=0)))
             logging.info(f'Evaluation rollout: return={eval_info["return_mean"]:.3f} '
                          f'({eval_info["return_std"]:.1f})')
             if info_saver:

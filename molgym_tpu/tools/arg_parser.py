@@ -130,6 +130,13 @@ def build_default_argparser() -> argparse.ArgumentParser:
                         help='episodes per evaluation '
                              '(default: one per eval formula)',
                         type=int, default=None)
+    parser.add_argument('--eval_sample_k',
+                        help='0 (default): reference-parity greedy eval. '
+                             'K>0: SAMPLED eval with K episodes per formula; '
+                             'adds return_best_mean (per-formula best) to '
+                             'the eval stream — sidesteps the greedy-mode '
+                             'pathology (experiments/stochastic_pm6)',
+                        type=int, default=0)
 
     # Training algorithm
     parser.add_argument('--optimizer', help='optimizer', type=str,

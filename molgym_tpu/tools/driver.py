@@ -260,6 +260,7 @@ def run_experiment(config: dict, env_builder: EnvBuilder = standard_envs,
         # three reference drivers default num_eval_episodes=len(eval_formulas))
         num_eval_episodes=(config.get('num_eval_episodes')
                            or int(eval_env.formulas.shape[0])),
+        eval_sample_k=config.get('eval_sample_k', 0) or 0,
         model_handler=model_handler,
         rollout_saver=rollout_saver,
         save_train_rollout=save_mode in ('train', 'all'),

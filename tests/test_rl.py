@@ -214,3 +214,38 @@ class TestLearningSmoke:
         returns = [r['return_mean'] for r in rows]
         assert len(returns) == 10
         assert np.mean(returns[-3:]) > np.mean(returns[:3]) - 0.05
+
+
+class TestSampledEval:
+    def test_eval_sample_k_reports_per_formula_best(self, tmp_path):
+        """eval_sample_k > 0 opts into sampled evaluation (K episodes per
+        eval formula) with a return_best_mean field — the documented
+        mitigation for the greedy-mode pathology (experiments/
+        stochastic_pm6/README.md). Best-of-K must dominate the sample mean
+        by construction."""
+        import json
+
+        space = ObservationSpace(canvas_size=3, zs=[0, 8])
+        formulas = np.stack([space.bag_from_formula(string_to_formula('O2'))])
+        env = MolecularEnv(reward_fn=make_lennard_jones_reward(),
+                           observation_space=space, formulas=formulas)
+        agent = make_mlp_internal_agent(num_zs=2, canvas_size=3,
+                                        network_width=16,
+                                        min_max_distance=(1.0, 1.8))
+        rng = jax.random.PRNGKey(0)
+        states = env.init_states(rng, 4)
+        params = agent.init(rng, states.observation(), rng, method=agent.act)
+
+        from molgym_tpu.tools.util import InfoSaver
+        saver = InfoSaver(directory=str(tmp_path), tag='sk_run-0')
+        config = PPOConfig(mini_batch_size=32, max_num_train_iters=2)
+        batch_ppo(env, env, agent, params, num_envs=4, config=config,
+                  max_num_steps=128, num_steps_per_iter=64, eval_freq=1,
+                  num_eval_episodes=1, eval_sample_k=4,
+                  info_saver=saver, seed=0)
+
+        rows = [json.loads(line) for line in open(tmp_path / 'sk_run-0_eval.txt')]
+        assert rows, 'no eval records written'
+        for r in rows:
+            assert 'return_best_mean' in r
+            assert r['return_best_mean'] >= r['return_mean'] - 1e-9
