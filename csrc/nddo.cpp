@@ -22,7 +22,8 @@
 //     C-C triple-bond term, 1e-8((ZA^1/3+ZB^1/3)/R)^12 wall.
 //
 // Exposed C ABI (ctypes, see calculators/native.py):
-//   mg_nddo_energy / mg_nddo_gradients / mg_nddo_supported
+//   mg_nddo_energy / mg_nddo_gradients / mg_nddo_supported /
+//   mg_nddo_scf_density
 // All state is per-call (thread-safe under the molgym_host.cpp pool).
 
 #include <cmath>
@@ -1894,5 +1895,32 @@ int mg_nddo_gradients(const int* zs, const double* positions, int n,
 
 // 1 if PM6 parameters exist for atomic number z
 int mg_nddo_supported(int z) { return nddo::elem(z) != nullptr ? 1 : 0; }
+
+// Converged UHF spin densities (row-major [norb, norb] each) + total energy.
+// Exists for cross-implementation FUNCTIONAL-parity checks
+// (tests/test_nddo.py): on near-degenerate clusters the C++ and numpy-oracle
+// SCF trajectories can land in different UHF basins depending on machine FP
+// (both genuine stationary points); exporting the converged density lets the
+// oracle evaluate ITS energy functional on OUR solution, which is the
+// implementation-independent parity statement. cap = caller buffer size in
+// doubles per spin (needs norb^2). Returns 0 ok, 1 bad molecule, 2 buffer
+// too small, 3 SCF not converged; *norb_out is set whenever build succeeds.
+int mg_nddo_scf_density(const int* zs, const double* positions, int n,
+                        int charge, int multiplicity, int cap,
+                        double* pa_out, double* pb_out, int* norb_out,
+                        double* energy_out) {
+  nddo::Molecule mol;
+  if (!nddo::build(mol, zs, positions, n, charge, multiplicity)) return 1;
+  if (norb_out) *norb_out = mol.n_orb;
+  if (mol.n_orb * mol.n_orb > cap) return 2;
+  bool conv = false;
+  std::vector<double> pa, pb;
+  const double e = nddo::scf(mol, &conv, &pa, &pb);
+  if (!conv) return 3;
+  std::copy(pa.begin(), pa.end(), pa_out);
+  std::copy(pb.begin(), pb.end(), pb_out);
+  if (energy_out) *energy_out = e;
+  return 0;
+}
 
 }  // extern "C"

@@ -27,9 +27,56 @@ METHOD_PM6 = 3  # native NDDO/PM6 SCF (csrc/nddo.cpp) — reference reward parit
 _lib: Optional[ctypes.CDLL] = None
 
 
+_FINGERPRINT_PATH = os.path.join(_CSRC_DIR, '.built_on')
+
+
+def _host_fingerprint() -> str:
+    """CPU identity hash of this host. The library is built -march=native and
+    the committed .so survives a fresh checkout with mtimes equal to the
+    sources (make sees it as up to date), so without this check a binary
+    built on a DIFFERENT host loads silently. That is not just an illegal-
+    instruction risk: instruction selection/FMA contraction differs across
+    builds, and on knife-edge near-degenerate clusters the SCF can land in a
+    different UHF basin than this host's numpy/BLAS oracle (measured: an
+    O3NF cluster 0.137 Ha apart — tests/test_nddo.py random-molecule
+    parity). Mirrors the CPU-feature keying of the XLA compile cache
+    (tools/util.py)."""
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            lines = [ln for ln in f
+                     if ln.startswith(('model name', 'flags'))]
+        key = ''.join(sorted(set(lines)))
+    except OSError:
+        import platform
+        key = platform.processor() + platform.machine()
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def _build() -> None:
-    subprocess.run(['make', '-C', _CSRC_DIR], check=True,
-                   capture_output=True)
+    fp = _host_fingerprint()
+    stamp = None
+    try:
+        with open(_FINGERPRINT_PATH) as f:
+            stamp = f.read().strip()
+    except OSError:
+        pass
+    # -B forces a full rebuild when the .so was built on another host (or
+    # the stamp is missing — e.g. a fresh checkout, where the committed
+    # binary's provenance is unknown)
+    args = ['make', '-C', _CSRC_DIR] + ([] if stamp == fp else ['-B'])
+    try:
+        subprocess.run(args, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, OSError):
+        if os.path.exists(_LIB_PATH):  # toolchain missing: committed binary
+            import warnings               # is better than nothing
+            warnings.warn('csrc rebuild failed; using the existing '
+                          'libmolgym_host.so (possibly built on another '
+                          'host)', RuntimeWarning)
+            return
+        raise
+    with open(_FINGERPRINT_PATH, 'w') as f:
+        f.write(fp)
 
 
 def load_library() -> ctypes.CDLL:
@@ -38,9 +85,8 @@ def load_library() -> ctypes.CDLL:
         return _lib
     if os.path.isdir(_CSRC_DIR) and os.path.exists(
             os.path.join(_CSRC_DIR, 'Makefile')):
-        # make is a no-op when the .so is newer than the sources; this keeps
-        # the loaded physics in sync after source edits (a stale committed
-        # binary would otherwise load silently)
+        # rebuilds when sources are newer than the .so OR the .so was built
+        # on a different host (see _host_fingerprint)
         _build()
     elif not os.path.exists(_LIB_PATH):
         raise RuntimeError(f'native library missing: {_LIB_PATH}')
@@ -75,6 +121,10 @@ def load_library() -> ctypes.CDLL:
     lib.mg_eht_orbitals.restype = ctypes.c_int
     lib.mg_eht_orbitals.argtypes = [c_int_p, c_dbl_p, ctypes.c_int, c_dbl_p,
                                     ctypes.c_int, c_int_p]
+    lib.mg_nddo_scf_density.restype = ctypes.c_int
+    lib.mg_nddo_scf_density.argtypes = [
+        c_int_p, c_dbl_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, c_dbl_p, c_dbl_p, c_int_p, c_dbl_p]
     _lib = lib
     return lib
 
@@ -91,6 +141,34 @@ def eht_orbital_energies(zs, positions) -> Tuple[np.ndarray, int]:
                             len(zs), _ptr(eps, ctypes.c_double), len(eps),
                             ctypes.byref(n_elec))
     return eps[:n] * 27.211386, n_elec.value
+
+
+def nddo_scf_density(zs, positions, charge: int = 0, multiplicity: int = 0
+                     ) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Converged PM6 UHF (energy_hartree, p_alpha, p_beta) from the C++ SCF.
+
+    The densities exist for cross-implementation FUNCTIONAL-parity checks
+    (tests/test_nddo.py): on near-degenerate clusters the C++ and numpy
+    oracle trajectories may converge to different genuine UHF basins
+    depending on machine FP; the oracle evaluating its own energy functional
+    on this density is the parity statement that survives that.
+    Raises RuntimeError when the SCF does not converge."""
+    lib = load_library()
+    zs = np.ascontiguousarray(zs, dtype=np.int32)
+    pos = np.ascontiguousarray(positions, dtype=np.float64)
+    cap = (9 * len(zs)) ** 2  # spd worst case
+    pa = np.zeros(cap, dtype=np.float64)
+    pb = np.zeros(cap, dtype=np.float64)
+    norb = ctypes.c_int()
+    energy = ctypes.c_double()
+    ret = lib.mg_nddo_scf_density(
+        _ptr(zs, ctypes.c_int), _ptr(pos, ctypes.c_double), len(zs),
+        charge, multiplicity, cap, _ptr(pa, ctypes.c_double),
+        _ptr(pb, ctypes.c_double), ctypes.byref(norb), ctypes.byref(energy))
+    if ret != 0:
+        raise RuntimeError(f'mg_nddo_scf_density failed (code {ret})')
+    n = norb.value
+    return energy.value, pa[:n * n].reshape(n, n), pb[:n * n].reshape(n, n)
 
 
 def _ptr(a: np.ndarray, ctype):

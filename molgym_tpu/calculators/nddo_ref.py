@@ -1218,6 +1218,30 @@ class NDDO:
         self.p_alpha, self.p_beta = pa, pb
         return e_prev + self.e_nuc, converged
 
+    def energy_of_density(self, pa: np.ndarray, pb: np.ndarray
+                          ) -> Tuple[float, float]:
+        """Evaluate THIS implementation's UHF energy functional on a given
+        spin density (no SCF): (total energy in Hartree, max |[F,P]|).
+
+        This is the cross-implementation parity statement that survives
+        multi-basin clusters: near-degenerate random geometries can make the
+        C++ and oracle SCF trajectories land in DIFFERENT genuine UHF
+        solutions depending on machine FP (measured: an O3NF 5-atom cluster,
+        basins 0.137 Ha apart, each tightly stationary). Trajectory-level
+        value agreement is then unattainable, but both implementations must
+        still assign the SAME energy to the SAME density — and a converged
+        solution of one must be stationary ([F,P] ~ 0) under the other's
+        Fock operator. Used by tests/test_nddo.py with densities exported
+        from csrc (mg_nddo_scf_density)."""
+        p_tot = pa + pb
+        fa = self._fock(p_tot, pa)
+        fb = self._fock(p_tot, pb)
+        e_elec = 0.5 * (np.sum(pa * (self.hcore + fa))
+                        + np.sum(pb * (self.hcore + fb)))
+        err = max(float(np.max(np.abs(fa @ pa - pa @ fa))),
+                  float(np.max(np.abs(fb @ pb - pb @ fb))))
+        return e_elec + self.e_nuc, err
+
 
 def energy(zs, positions, charge: int = 0,
            multiplicity: Optional[int] = None) -> float:

@@ -102,27 +102,80 @@ class TestOracleParity:
         boundary, where the converged/NaN outcome legitimately depends on
         machine FP (measured: 3 flips in a 40-cluster fuzz between the two
         implementations, all with near-coincident atoms). Allow at most one
-        outcome flip out of 6 — but NEVER a value disagreement when both
-        converge, which would be a real bug.
+        outcome flip out of 6.
+
+        Basin tolerance: near-degenerate clusters can make both trajectories
+        converge but to DIFFERENT genuine UHF solutions depending on machine
+        FP (measured: the trial-0 O3NF chain, basins 0.137 Ha apart, when
+        the loaded .so was built on a different host than numpy's BLAS runs
+        on). A value disagreement is therefore only a real bug if it breaks
+        FUNCTIONAL parity: the oracle evaluating ITS energy functional on
+        the C++ converged density must reproduce the C++ energy exactly, and
+        that density must be stationary under the oracle's Fock operator.
+        Allow at most one such basin flip out of 6; a functional-parity
+        violation always fails.
         """
         rng = np.random.default_rng(7)
         zs_pool = [1, 6, 7, 8, 9]
         n_converged = 0
         n_outcome_flips = 0
+        n_basin_flips = 0
         for trial in range(6):
             n = int(rng.integers(2, 6))
             zs = [int(rng.choice(zs_pool)) for _ in range(n)]
             pos = rng.uniform(-1.0, 1.0, (n, 3)) * 1.4
             pos[:, 0] += np.arange(n) * 1.6
             e_cpp = pm6_calc([int(z) for z in zs], pos).calculate_energy()
-            e_py, conv_py = nddo_ref.NDDO(zs, pos).scf()
+            oracle = nddo_ref.NDDO(zs, pos)
+            e_py, conv_py = oracle.scf()
             if conv_py and not np.isnan(e_cpp):
-                assert e_cpp == pytest.approx(e_py, abs=2e-9), (zs, pos)
                 n_converged += 1
+                if e_cpp == pytest.approx(e_py, abs=2e-9):
+                    continue
+                # different basins: demand functional parity instead
+                from molgym_tpu.calculators.native import nddo_scf_density
+                e_dens, pa, pb = nddo_scf_density(zs, pos)
+                assert e_dens == pytest.approx(e_cpp, abs=1e-9)
+                e_func, stat = oracle.energy_of_density(pa, pb)
+                assert e_func == pytest.approx(e_cpp, abs=1e-8), (zs, pos)
+                # stationary under the ORACLE's Fock: a genuine UHF solution
+                # of the same equations (1e-5 = the SCF's own flat-acceptance
+                # commutator bound; energy error is O(err^2))
+                assert stat < 1e-5, (zs, pos, stat)
+                n_basin_flips += 1
             elif conv_py != (not np.isnan(e_cpp)):
                 n_outcome_flips += 1
         assert n_outcome_flips <= 1, 'more than one knife-edge outcome flip'
+        assert n_basin_flips <= 1, 'more than one knife-edge basin flip'
         assert n_converged >= 4  # most random molecules do converge
+
+    def test_functional_parity_on_exported_density(self):
+        """mg_nddo_scf_density round-trip: the oracle's energy functional
+        evaluated on the C++ converged density reproduces the C++ energy to
+        ~1e-10 and the density is stationary under the oracle's Fock — the
+        implementation-independent parity statement used for basin flips
+        (see test_random_molecules), exercised here on the historical
+        knife-edge O3NF chain and on plain water."""
+        from molgym_tpu.calculators.native import nddo_scf_density
+        # trial 0 of test_random_molecules' generator: the O3NF chain whose
+        # two UHF basins sit 0.137 Ha apart across FP environments
+        rng = np.random.default_rng(7)
+        n = int(rng.integers(2, 6))
+        zs_pool = [1, 6, 7, 8, 9]
+        o3nf_zs = [int(rng.choice(zs_pool)) for _ in range(n)]
+        o3nf_pos = rng.uniform(-1.0, 1.0, (n, 3)) * 1.4
+        o3nf_pos[:, 0] += np.arange(n) * 1.6
+        assert o3nf_zs == [8, 8, 9, 7, 8]
+        o3nf = (o3nf_zs, o3nf_pos)
+        h2o = ([8, 1, 1],
+               np.array([[0.0, 0.0, 0.0], [0.9572, 0.0, 0.0],
+                         [-0.2399872, 0.9266272, 0.0]]))
+        for zs, pos in (o3nf, h2o):
+            e_cpp, pa, pb = nddo_scf_density(zs, pos)
+            oracle = nddo_ref.NDDO(zs, pos)
+            e_func, stat = oracle.energy_of_density(pa, pb)
+            assert e_func == pytest.approx(e_cpp, abs=1e-8)
+            assert stat < 1e-5
 
     def test_sulfur_spd_parity(self):
         """S runs through the full spd (MNDO/d) machinery in both
