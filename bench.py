@@ -120,14 +120,30 @@ def make_agent(encoder_dtype=None):
                        encoder_dtype=encoder_dtype)
 
 
-def build_grad_fn(batch=BATCH, encoder_dtype=None):
+SEED_BATCH = 10  # divides 140 and 2240
+_SEED_CACHE = {}  # encoder_dtype -> (params, elements, positions, bag, acts)
+
+
+def _seed_batch(encoder_dtype):
+    """(params, seed obs arrays, seed actions) on the host CPU, cached.
+
+    The op-by-op CPU init+act phase used to run at the FULL batch and
+    dominated the extras budget (~90 s at batch 140, several hundred at
+    2240 — BENCH_r04/r05 forensics): flax params are batch-independent and
+    action VALUES affect neither the jit key nor the dense masked compute's
+    timing, so one SEED_BATCH-sized init+act serves every batch size via
+    tiling (obs and actions tiled TOGETHER so they stay consistent). The
+    measured grad program's shapes/dtypes — and therefore its compile-cache
+    key and its cost — are unchanged."""
     import jax
     import jax.numpy as jnp
 
     from molgym_tpu.spaces import Observation
 
+    if encoder_dtype in _SEED_CACHE:
+        return _SEED_CACHE[encoder_dtype]
     agent = make_agent(encoder_dtype)
-    elements, positions, bag = make_batch(batch=batch)
+    elements, positions, bag = make_batch(batch=SEED_BATCH)
     # init + action generation on host CPU: only the grad program pays the
     # (multi-minute, tunneled) TPU compile. The pallas aggregate kernel can't
     # compile for CPU, so force the einsum backend here — the parameter tree
@@ -144,13 +160,31 @@ def build_grad_fn(batch=BATCH, encoder_dtype=None):
         # measured NOT to help (97.5 s vs 89.5 s — the one-shot CPU compile
         # costs what the op-by-op dispatch costs on this single-core host)
         params = agent.init(rng, obs_cpu, rng, method=agent.act)
-        actions = agent.apply(params, obs_cpu, rng, False,
-                              method=agent.act).action_flat
+        acts = np.asarray(agent.apply(params, obs_cpu, rng, False,
+                                      method=agent.act).action_flat)
     cg_mod.set_aggregate_backend(saved_backend)
+    out = (params, elements, positions, bag, acts)
+    _SEED_CACHE[encoder_dtype] = out
+    return out
+
+
+def build_grad_fn(batch=BATCH, encoder_dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from molgym_tpu.spaces import Observation
+
+    agent = make_agent(encoder_dtype)
+    params, elements, positions, bag, acts = _seed_batch(encoder_dtype)
+    assert batch % SEED_BATCH == 0
+    reps = batch // SEED_BATCH
     dev = jax.devices()[0]
-    obs = jax.device_put(obs_cpu, dev)
+    obs = jax.device_put(Observation(
+        elements=jnp.asarray(np.tile(elements, (reps, 1))),
+        positions=jnp.asarray(np.tile(positions, (reps, 1, 1))),
+        bag=jnp.asarray(np.tile(bag, (reps, 1)))), dev)
     params = jax.device_put(params, dev)
-    actions = jax.device_put(actions, dev)
+    actions = jax.device_put(jnp.asarray(np.tile(acts, (reps, 1))), dev)
 
     def loss_fn(p):
         logp, ent, v = agent.apply(p, obs, actions, method=agent.evaluate)
