@@ -685,6 +685,11 @@ def main():
             'bench_started_unix': int(started),
             'cache_dir': cache_dir,
             'cache_entries_at_start': cache_entries,
+            # Host-load forensics (VERDICT r04 weak #4): ±1.6 ms of the
+            # headline spread across rounds tracks host-side dispatch
+            # contention, not kernel changes. 1-min load average at the
+            # moment the headline was measured makes that one-look.
+            'load_avg_1m': round(os.getloadavg()[0], 2),
         },
     }
     # Print the headline NOW: extras must never be able to lose the number.
