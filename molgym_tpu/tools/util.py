@@ -72,6 +72,22 @@ def enable_compile_cache() -> str:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
+    # Cache keys are INVOCATION-STRUCTURE-DEPENDENT by default: Pallas/Mosaic
+    # kernels are embedded in the HLO as a serialized inner MLIR module
+    # (tpu_custom_call backend_config) that carries its own location info,
+    # including the CALLER's stack frames. The cache key canonicalization
+    # (jax cache_key._canonicalize_ir) strips debug info only from the OUTER
+    # module — it cannot reach inside the serialized blob — so the same
+    # program traced from `python bench.py`, `python /path/bench.py`, or any
+    # wrapper script hashes to a different key (verified: 6 distinct keys for
+    # one program across one day's processes; two caller structures differ in
+    # exactly the 12 tpu_custom_call backend_config lines of the stripped
+    # IR). Opting in stops embedding caller tracebacks in locations, making
+    # keys stable across invocation styles. Off by default because flipping
+    # it changes every existing key (a full re-warm); see
+    # experiments/perf/README.md for the forensics and protocol.
+    if os.environ.get('MOLGYM_STABLE_CACHE_KEYS', '0') == '1':
+        jax.config.update('jax_include_full_tracebacks_in_locations', False)
     return cache_dir
 
 

@@ -16,6 +16,16 @@ and verifying the final JSON line's extras are non-empty is the LAST action
 of every build session, re-triggered by any later commit touching
 molgym_tpu/{ops,agents,rl,envs,distributions} or bench.py.
 
+KNOWN LIMIT (round-5 forensics, experiments/perf/README.md): cache keys are
+invocation-structure-dependent for Pallas programs — Mosaic kernels embed
+caller stack frames in a serialized blob the key canonicalization cannot
+strip — so entries written by THIS script's process never match a
+`python bench.py` process. This script still matters: it pays the XLA
+server-side compile once, so the follow-up bench.py run's misses recompile
+in tens of seconds and write the entries the driver's identical invocation
+then hits. MOLGYM_STABLE_CACHE_KEYS=1 (opt-in) removes the caller frames
+and makes keys invocation-independent.
+
 Default warms the headline + flagship-extra programs; --all adds every
 deadline-guarded extra's program too.
 """
